@@ -69,4 +69,6 @@ class RunConfig:
     scorer_concurrency: int = 4  # actor-pool size for the model stage
     output_dir: str | None = None
     resume: bool = True
+    wave_size: int = 64  # input files per checkpoint wave (resume granularity)
+    write_kept: bool = True  # materialize the filtered+scrubbed corpus
     quality: QualityConfig = field(default_factory=QualityConfig)

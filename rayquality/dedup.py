@@ -1,0 +1,140 @@
+"""Dedup semantics shared by the oracle and the distributed pipeline.
+
+Exact dedup follows the reference's composite-key duplicate arithmetic
+(``src/data_quality/validators/duplicates.py:341-429`` in /root/reference:
+duplicates = total - len(drop_duplicates)) with key = ``phash``, recast
+per-row: within a phash group the WINNER is ``min(image_id)`` (deterministic
+under any partitioning/arrival order — SURVEY.md §2.9) and every other row
+is an ``exact_dup`` loser.
+
+Near-dup (north-rule extension, SURVEY.md §2.7): LSH banding of the 64-bit
+phash (d < n_bands guarantees a shared band by pigeonhole), pairwise hamming
+verification within band groups, connected components over verified pairs,
+winner = min(image_id) per component.
+
+The functions here are pure and single-process; the pipeline distributes
+them (salted groupby for exact, band-key groupby for pair generation) but
+calls THESE functions for the per-group logic, so oracle and pipeline agree
+by construction while the shuffle mechanics are cross-checked by tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .phash import band_keys, hamming_matrix
+
+# pairwise-verification cap per band group; larger groups are compared
+# within a phash-sorted sliding window (skew guard for degenerate corpora)
+GROUP_CAP = 4096
+_WINDOW = 256
+
+
+def exact_losers(phashes: np.ndarray, image_ids: np.ndarray) -> set[str]:
+    """Loser ids: everything except min(image_id) per phash group."""
+    ph = np.asarray(phashes, dtype=np.int64)
+    ids = np.asarray(image_ids, dtype=object)
+    order = np.lexsort((ids, ph))
+    ph_s, ids_s = ph[order], ids[order]
+    first = np.empty(len(ph_s), dtype=bool)
+    if len(ph_s):
+        first[0] = True
+        first[1:] = ph_s[1:] != ph_s[:-1]
+    return set(ids_s[~first])
+
+
+def verified_pairs(
+    phashes: np.ndarray, image_ids: np.ndarray, max_hamming: int
+) -> list[tuple[str, str]]:
+    """All (id_a, id_b) pairs with hamming(phash) <= max_hamming, id_a < id_b.
+
+    O(g^2) up to GROUP_CAP rows; beyond that, a phash-sorted sliding window
+    bounds the comparisons (documented skew guard; exact dedup has already
+    collapsed identical-phash groups so giant bands are adversarial corpora).
+    """
+    ph = np.asarray(phashes, dtype=np.int64)
+    ids = np.asarray(image_ids, dtype=object)
+    n = len(ph)
+    pairs: list[tuple[str, str]] = []
+    if n < 2:
+        return pairs
+    if n <= GROUP_CAP:
+        d = hamming_matrix(ph, ph)
+        ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a, b = ids[i], ids[j]
+            pairs.append((a, b) if a < b else (b, a))
+        return pairs
+    order = np.argsort(ph, kind="stable")
+    ph_s, ids_s = ph[order], ids[order]
+    for i in range(n - 1):
+        j_end = min(i + 1 + _WINDOW, n)
+        d = hamming_matrix(ph_s[i : i + 1], ph_s[i + 1 : j_end])[0]
+        for off in np.nonzero(d <= max_hamming)[0].tolist():
+            a, b = ids_s[i], ids_s[i + 1 + off]
+            pairs.append((a, b) if a < b else (b, a))
+    return pairs
+
+
+def near_pairs_banded(
+    phashes: np.ndarray,
+    image_ids: np.ndarray,
+    max_hamming: int,
+    n_bands: int,
+) -> set[tuple[str, str]]:
+    """Single-process banded near-dup pair generation (the oracle path).
+
+    Produces exactly the pair set the distributed band-key groupby produces:
+    group by each of the ``n_bands`` band keys, verify pairs within groups.
+    """
+    keys = band_keys(np.asarray(phashes, dtype=np.int64), n_bands)  # (n, B)
+    ids = np.asarray(image_ids, dtype=object)
+    out: set[tuple[str, str]] = set()
+    for b in range(n_bands):
+        col = keys[:, b]
+        order = np.argsort(col, kind="stable")
+        col_s = col[order]
+        bounds = np.nonzero(np.diff(col_s))[0] + 1
+        for grp in np.split(order, bounds):
+            if len(grp) >= 2:
+                out.update(verified_pairs(phashes[grp], ids[grp], max_hamming))
+    return out
+
+
+def component_losers(pairs: "set[tuple[str, str]] | list[tuple[str, str]]") -> set[str]:
+    """Union-find over verified pairs; losers = members except min id.
+
+    Runs on the driver over the (small) verified-pair set. Scale note: at
+    10^12 rows replace with a few rounds of min-label propagation via
+    groupby (SURVEY ray-guide pattern); the pair set itself stays small
+    because exact dedup runs first.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by id order so the root is always the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    losers: set[str] = set()
+    for x in list(parent):
+        if find(x) != x:
+            losers.add(x)
+    return losers
+
+
+def near_losers(
+    phashes: np.ndarray,
+    image_ids: np.ndarray,
+    max_hamming: int,
+    n_bands: int,
+) -> set[str]:
+    """Oracle convenience: banded pairs -> components -> losers."""
+    return component_losers(near_pairs_banded(phashes, image_ids, max_hamming, n_bands))

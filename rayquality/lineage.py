@@ -1,0 +1,82 @@
+"""Per-partition lineage + checkpoint manifest for exact resume.
+
+North-rule requirement (SURVEY.md §4.2 "Resume"): every completed unit of
+work records ``{unit, input files, fingerprint, rule-hit counts, keep/drop
+tallies, output path, status}``; a restarted run loads the manifest, skips
+units whose fingerprint still matches, and reprocesses the rest. The unit
+is a WAVE: a fixed-size slice of the input shard list processed by one
+streaming Dataset execution (outputs land in the wave's own directory, so a
+killed run leaves at most one partial wave directory, which is overwritten
+on retry).
+
+The reference has no checkpointing at all (SURVEY.md §4.1); this module is
+new surface mandated by the north rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+
+def input_fingerprint(paths: list[str], config_digest: str) -> str:
+    """Hash of (path, size) per input file + the rule-config digest."""
+    h = hashlib.sha256(config_digest.encode())
+    for p in sorted(paths):
+        h.update(p.encode())
+        h.update(str(os.path.getsize(p)).encode())
+    return h.hexdigest()[:24]
+
+
+class Manifest:
+    """Directory of one JSON record per completed wave."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, wave_id: int) -> str:
+        return os.path.join(self.dir, f"wave-{wave_id:05d}.json")
+
+    def completed(self, wave_id: int, fingerprint: str) -> bool:
+        p = self._path(wave_id)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return rec.get("fingerprint") == fingerprint and rec.get("status") == "done"
+
+    def record(
+        self,
+        wave_id: int,
+        fingerprint: str,
+        input_paths: list[str],
+        output_dir: str,
+        stats: dict,
+    ) -> None:
+        rec = {
+            "wave": wave_id,
+            "fingerprint": fingerprint,
+            "inputs": sorted(input_paths),
+            "output_dir": output_dir,
+            "stats": stats,
+            "status": "done",
+            "completed_at": time.time(),
+        }
+        tmp = self._path(wave_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        os.replace(tmp, self._path(wave_id))  # atomic publish
+
+    def load_all(self) -> list[dict]:
+        recs = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    recs.append(json.load(f))
+        return recs

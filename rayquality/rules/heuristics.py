@@ -91,9 +91,13 @@ def word_stats(texts: list[str]) -> dict[str, np.ndarray]:
         return out
     # start-of-word index propagated to every letter position
     start_prop = np.maximum.accumulate(np.where(wstart, idx, -1))
-    pos_in_word = np.minimum(idx - start_prop, 15)
+    pos_in_word = idx - start_prop
+    # truncate words at 16 letters: base-31 positional hash is injective for
+    # coefficients < 31, so distinct (truncated) words never collide below
+    # the uint64 wrap (~13 letters) and practically never above it
+    lead = letters & (pos_in_word <= 15)
     contrib = np.zeros(m, dtype=np.uint64)
-    contrib[letters] = classes[letters].astype(np.uint64) * _POW[pos_in_word[letters]]
+    contrib[lead] = classes[lead].astype(np.uint64) * _POW[pos_in_word[lead]]
     whash = np.add.reduceat(contrib, wstart_pos)  # polynomial hash per word
     text_of_word = np.searchsorted(starts, wstart_pos, side="right") - 1
     n_words = np.bincount(text_of_word, minlength=n).astype(np.int64)
