@@ -1,44 +1,338 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image quality-filter pipeline on a tiny
+deterministic synthetic corpus; ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 over the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (column names match exactly; money aggregates are integer cents on
+both sides so float summation order can never flip a value hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import ray.data as rd
+
+
+def _tables(sf_dir: str, *names: str) -> list[rd.Dataset]:
+    return [rd.read_parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def _images_corpus(sf_dir: str) -> str:
+    """Deterministic synthetic image+caption corpus scaled to the sf level
+    (no external data; BASELINE.json input_hint table)."""
+    from rayquality import synth
+
+    n = max(1000, int(200_000 * _sf_of(sf_dir)))
+    return synth.ensure_corpus(n, seed=42)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on a sf0.001-scale synthetic corpus -> final verdicts."""
+    import glob
 
+    from rayquality import pipeline
+    from rayquality.config import RunConfig
+
+    corpus = _images_corpus("/root/testdata/sf0.001")
+    out = "/tmp/rayquality_entry_out"
+    summary = pipeline.run(corpus, RunConfig(output_dir=out, write_kept=False))
+    return rd.read_parquet(sorted(glob.glob(os.path.join(summary["final_dir"], "*.parquet"))))
+
+
+def _q_quality_filter(sf_dir: str) -> Any:
+    import glob
+
+    from rayquality import pipeline
+    from rayquality.config import RunConfig
+
+    corpus = _images_corpus(sf_dir)
+    out = f"/tmp/rayquality_q_out_{_sf_of(sf_dir)}"
+    summary = pipeline.run(corpus, RunConfig(output_dir=out, write_kept=False))
+    files = sorted(glob.glob(os.path.join(summary["final_dir"], "*.parquet")))
+    df = rd.read_parquet(files).drop_columns(["drop_reasons"]).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def _q_decode_stats(sf_dir: str) -> Any:
+    """Multimodal decode stage: bytes -> pixels -> per-image stats."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayquality import codecs
+
+    corpus = _images_corpus(sf_dir)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ok = []
+        means = []
+        for blob, fmt in zip(t["bytes"], t["fmt"].to_pylist()):
+            try:
+                img = codecs.decode(blob.as_py(), fmt)
+                ok.append(True)
+                means.append(float(img.mean()))
+            except codecs.CodecError:
+                ok.append(False)
+                means.append(-1.0)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "decoded_ok": pa.array(ok),
+                "mean_pixel": pa.array(np.round(np.array(means), 4)),
+            }
+        )
+
+    ds = rd.read_parquet(sorted(__import__("glob").glob(corpus + "/*.parquet")))
+    return ds.map_batches(per_batch, batch_format="pyarrow").to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# generic validator / relational / text / dedup / ann operators
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayquality.ops import ann, relational, text, textdedup, validators
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def completeness_customer(sf):
+        (ds,) = _tables(sf, "customer")
+        return validators.completeness(
+            ds, ["c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"]
+        )
+
+    def duplicates_orders_custkey(sf):
+        (ds,) = _tables(sf, "orders")
+        return validators.duplicates(ds, "o_custkey")
+
+    def duplicate_values_orders(sf):
+        (ds,) = _tables(sf, "orders")
+        return validators.duplicate_values(ds, "o_custkey", limit=10)
+
+    def composite_dup_lineitem(sf):
+        (ds,) = _tables(sf, "lineitem")
+        return validators.composite_duplicates(ds, ["l_orderkey", "l_linenumber"])
+
+    def pattern_customer_name(sf):
+        (ds,) = _tables(sf, "customer")
+        return validators.pattern_validity(ds, "c_name", r"Customer#[0-9]{9}")
+
+    def pattern_events_type(sf):
+        (ds,) = _tables(sf, "events")
+        return validators.pattern_validity(ds, "event_type", r"(signup|purchase)")
+
+    def integrity_orders_customer(sf):
+        orders, customer = _tables(sf, "orders", "customer")
+        return validators.integrity(orders, "o_custkey", customer, "c_custkey")
+
+    def integrity_lineitem_orders(sf):
+        li, orders = _tables(sf, "lineitem", "orders")
+        return validators.integrity(li, "l_orderkey", orders, "o_orderkey")
+
+    def q1_pricing_summary(sf):
+        (li,) = _tables(sf, "lineitem")
+        return relational.q1_pricing_summary(li)
+
+    def events_hourly(sf):
+        (ev,) = _tables(sf, "events")
+        return relational.events_hourly(ev)
+
+    def top_customers_by_revenue(sf):
+        orders, customer = _tables(sf, "orders", "customer")
+        return relational.top_customers_by_revenue(orders, customer)
+
+    def token_counts_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return text.token_counts(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def text_quality_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return text.text_quality(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def fingerprint_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return text.fingerprints(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def lang_ppl_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return text.lang_ppl(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def dedup_exact_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return textdedup.exact_dedup(docs)
+
+    def dedup_minhash_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return textdedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+    def dedup_simhash_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return textdedup.simhash_pairs(docs, max_hamming=3)
+
+    def dedup_ngram_jaccard_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return textdedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+    def dedup_embedding_documents(sf):
+        (emb,) = _tables(sf, "embeddings")
+        return textdedup.embedding_cosine_pairs(emb, threshold=0.42)
+
+    def ann_cosine_topk(sf):
+        (emb,) = _tables(sf, "embeddings")
+        return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
+
+    return {
+        "completeness_customer": completeness_customer,
+        "duplicates_orders_custkey": duplicates_orders_custkey,
+        "duplicate_values_orders": duplicate_values_orders,
+        "composite_dup_lineitem": composite_dup_lineitem,
+        "pattern_customer_name": pattern_customer_name,
+        "pattern_events_type": pattern_events_type,
+        "integrity_orders_customer": integrity_orders_customer,
+        "integrity_lineitem_orders": integrity_lineitem_orders,
+        "q1_pricing_summary": q1_pricing_summary,
+        "events_hourly": events_hourly,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "token_counts_documents": token_counts_documents,
+        "text_quality_documents": text_quality_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "lang_ppl_documents": lang_ppl_documents,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
+        "dedup_embedding_documents": dedup_embedding_documents,
+        "ann_cosine_topk": ann_cosine_topk,
+        "quality_filter_images": _q_quality_filter,
+        "multimodal_decode_stats": _q_decode_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    comp_cols = ["c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"]
+    comp_union = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT(*) AS total_rows, "
+        f"COUNT(*) - COUNT({c}) AS null_count, "
+        f"(COUNT(*) - (COUNT(*) - COUNT({c}))) / COUNT(*) AS complete_ratio, "
+        f"((COUNT(*) - (COUNT(*) - COUNT({c}))) / COUNT(*)) >= 0.95 AS passed "
+        f"FROM customer"
+        for c in comp_cols
+    )
+    return {
+        "completeness_customer": f"SELECT * FROM ({comp_union}) ORDER BY column_name",
+        "duplicates_orders_custkey": (
+            "SELECT 'o_custkey' AS column_name, COUNT(*) AS total_rows, "
+            "COUNT(DISTINCT o_custkey) AS distinct_count, "
+            "COUNT(*) - COUNT(DISTINCT o_custkey) AS duplicate_count, "
+            "(COUNT(*) - COUNT(DISTINCT o_custkey)) <= 0 AS passed FROM orders"
+        ),
+        "duplicate_values_orders": (
+            "SELECT o_custkey AS value, COUNT(*) AS cnt FROM orders "
+            "GROUP BY o_custkey HAVING COUNT(*) > 1 "
+            "ORDER BY cnt DESC, value LIMIT 10"
+        ),
+        "composite_dup_lineitem": (
+            "SELECT 'l_orderkey+l_linenumber' AS key, COUNT(*) AS total_rows, "
+            "(SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS distinct_count, "
+            "COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS duplicate_count, "
+            "(COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))) <= 0 AS passed "
+            "FROM lineitem"
+        ),
+        "pattern_customer_name": (
+            "SELECT 'c_name' AS column_name, COUNT(*) AS total_rows, "
+            "SUM(CASE WHEN regexp_full_match(c_name, 'Customer#[0-9]{9}') THEN 1 ELSE 0 END) AS valid_count, "
+            "COUNT(*) - SUM(CASE WHEN regexp_full_match(c_name, 'Customer#[0-9]{9}') THEN 1 ELSE 0 END) AS invalid_count, "
+            "(COUNT(*) - SUM(CASE WHEN regexp_full_match(c_name, 'Customer#[0-9]{9}') THEN 1 ELSE 0 END)) = 0 AS passed "
+            "FROM customer"
+        ),
+        "pattern_events_type": (
+            "SELECT 'event_type' AS column_name, COUNT(*) AS total_rows, "
+            "SUM(CASE WHEN regexp_full_match(event_type, '(signup|purchase)') THEN 1 ELSE 0 END) AS valid_count, "
+            "COUNT(*) - SUM(CASE WHEN regexp_full_match(event_type, '(signup|purchase)') THEN 1 ELSE 0 END) AS invalid_count, "
+            "(COUNT(*) - SUM(CASE WHEN regexp_full_match(event_type, '(signup|purchase)') THEN 1 ELSE 0 END)) = 0 AS passed "
+            "FROM events"
+        ),
+        "integrity_orders_customer": (
+            "SELECT 'o_custkey' AS fk_column, COUNT(*) AS total_rows, "
+            "COUNT(*) - COUNT(o_custkey) AS null_count, "
+            "SUM(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphaned_count, "
+            "(COUNT(*) - SUM(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END)) / COUNT(*) AS integrity_ratio, "
+            "SUM(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed "
+            "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "integrity_lineitem_orders": (
+            "SELECT 'l_orderkey' AS fk_column, COUNT(*) AS total_rows, "
+            "COUNT(*) - COUNT(l_orderkey) AS null_count, "
+            "SUM(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphaned_count, "
+            "(COUNT(*) - SUM(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)) / COUNT(*) AS integrity_ratio, "
+            "SUM(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed "
+            "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) // 100 AS sum_disc_cents, "
+            "SUM(CAST(l_quantity AS BIGINT)) / COUNT(*) AS avg_qty, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "events_hourly": (
+            "SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events, "
+            "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents "
+            "FROM events GROUP BY user_id, hour ORDER BY user_id, hour"
+        ),
+        "top_customers_by_revenue": (
+            "SELECT c.c_custkey, c.c_name, "
+            "SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents, "
+            "COUNT(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_name "
+            "ORDER BY revenue_cents DESC, c_custkey LIMIT 10"
+        ),
+        "token_counts_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "text_quality_documents": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "len(regexp_extract_all(text, '[a-zA-Z]')) / GREATEST(length(text), 1) AS alpha_ratio "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "dedup_exact_documents": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "dedup_embedding_documents": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42 "
+            "ORDER BY id_a, id_b"
+        ),
+        "ann_cosine_topk": (
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "           list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank "
+            "  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id "
+            "  WHERE q.vec_id < 10) "
+            "WHERE rank <= 5 ORDER BY query_id, rank"
+        ),
+    }

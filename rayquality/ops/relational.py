@@ -1,0 +1,140 @@
+"""Relational operators: grouped aggregates, windowed event rollups,
+broadcast-join top-k — the wide-operation patterns of SURVEY.md §2.5/§2.6.
+
+All money aggregates are integer cents (exact, order-independent) so Ray's
+block-order-dependent double summation can never diverge from the DuckDB
+oracle (see rayquality.ops docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def q1_pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: pre-aggregated per batch, then a
+    tiny groupby over the partials (pre-agg pattern — SURVEY.md §4.2)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64(cutoff, "us"))))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_cents": pa.array([], pa.int64()),
+                    "sum_disc_cents": pa.array([], pa.int64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        base_c = _cents(t["l_extendedprice"])
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        # cents * (100 - disc%) stays integral; /100 applied at the end
+        disc_c = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        g = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "base": base_c,
+                "disc": disc_c,
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+        )
+
+    partials = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    # sum_disc_cents carried a x100 factor from (100 - disc%); normalize
+    out["sum_disc_cents"] = out["sum_disc_cents"] // 100
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "avg_qty", "count_order"]
+    ]
+
+
+def events_hourly(events: rd.Dataset) -> pd.DataFrame:
+    """Tumbling-window rollup (streaming-shaped op over the events log):
+    hour = floor(ts); per-batch partial groupby, then a small global one."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = _cents(t["value"])
+        g = pa.table(
+            {"user_id": t["user_id"], "hour": hour, "cents": cents}
+        ).group_by(["user_id", "hour"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["user_id", "hour", "sum_value_cents", "n_events"])
+
+    out = (
+        events.select_columns(["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)[
+        ["user_id", "hour", "n_events", "sum_value_cents"]
+    ]
+
+
+def top_customers_by_revenue(
+    orders: rd.Dataset, customer: rd.Dataset, limit: int = 10
+) -> pd.DataFrame:
+    """Broadcast hash join (small side via ray.put) + grouped sum + top-k.
+
+    The reference has no join beyond FK membership; this is the general
+    small-side join pattern the guide mandates instead of a shuffle join.
+    """
+    cust = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
+    name_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"c_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        ).group_by("c_custkey").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_custkey", "revenue_cents", "n_orders"])
+
+    agg = (
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(limit)
+        .to_pandas()
+    )
+    name_map = ray.get(name_map_ref)
+    agg["c_name"] = agg["c_custkey"].map(name_map)
+    return agg[["c_custkey", "c_name", "revenue_cents", "n_orders"]]

@@ -1,0 +1,173 @@
+"""Reference validator suite as distributed Ray Data operators.
+
+Each operator mirrors the decision arithmetic of a reference validator
+(citations into /root/reference) but executes as vectorized partial
+aggregation inside ``map_batches`` with a tiny driver-side combine — never a
+full shuffle when a sum decomposes (SURVEY.md §2.5 A1), and a skinny
+``groupby`` only where distinctness genuinely requires one (A2-A4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def completeness(ds: rd.Dataset, columns: list[str], threshold: float = 0.95) -> pa.Table:
+    """Per-column null tally (validators/completeness.py:98-120): partial
+    ``pc.is_null`` sums per batch, final add on the driver."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        nulls = [int(pc.sum(pc.is_null(t[c]).cast(pa.int64())).as_py() or 0) for c in columns]
+        return pa.table(
+            {
+                "column_name": pa.array(columns),
+                "null_count": pa.array(nulls, pa.int64()),
+                "total_rows": pa.array([t.num_rows] * len(columns), pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns(columns).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("column_name", as_index=False).sum().sort_values("column_name")
+    total = agg["total_rows"].to_numpy()
+    nulls = agg["null_count"].to_numpy()
+    ratio = np.where(total > 0, (total - nulls) / np.maximum(total, 1), 1.0)
+    return pa.table(
+        {
+            "column_name": pa.array(agg["column_name"]),
+            "total_rows": pa.array(total, pa.int64()),
+            "null_count": pa.array(nulls, pa.int64()),
+            "complete_ratio": pa.array(ratio, pa.float64()),
+            "passed": pa.array(ratio >= threshold),
+        }
+    )
+
+
+def duplicates(ds: rd.Dataset, column: str, max_duplicates: int = 0) -> pa.Table:
+    """Single-column duplicate stats (validators/duplicates.py:263-285):
+    ``duplicate_count = total - nunique`` via a skinny groupby shuffle."""
+    total = ds.count()
+    distinct = ds.select_columns([column]).groupby(column).count().count()
+    dup = total - distinct
+    return pa.table(
+        {
+            "column_name": pa.array([column]),
+            "total_rows": pa.array([total], pa.int64()),
+            "distinct_count": pa.array([distinct], pa.int64()),
+            "duplicate_count": pa.array([dup], pa.int64()),
+            "passed": pa.array([dup <= max_duplicates]),
+        }
+    )
+
+
+def duplicate_values(ds: rd.Dataset, column: str, limit: int = 10) -> pa.Table:
+    """Top duplicated values (validators/duplicates.py:302-310): groupby ->
+    count>1 -> deterministic (count desc, value asc) top-k."""
+    counts = ds.select_columns([column]).groupby(column).count()
+    top = (
+        counts.map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
+        )
+        .rename_columns({"count()": "cnt"})
+        .sort(["cnt", column], descending=[True, False])
+        .limit(limit)
+        .to_pandas()
+    )
+    return pa.table({"value": pa.array(top[column]), "cnt": pa.array(top["cnt"], pa.int64())})
+
+
+def composite_duplicates(ds: rd.Dataset, columns: list[str], max_duplicates: int = 0) -> pa.Table:
+    """Composite-key duplicates (validators/duplicates.py:341-429):
+    total - distinct key combos, via multi-key skinny groupby."""
+    total = ds.count()
+    distinct = ds.select_columns(columns).groupby(columns).count().count()
+    dup = total - distinct
+    return pa.table(
+        {
+            "key": pa.array(["+".join(columns)]),
+            "total_rows": pa.array([total], pa.int64()),
+            "distinct_count": pa.array([distinct], pa.int64()),
+            "duplicate_count": pa.array([dup], pa.int64()),
+            "passed": pa.array([dup <= max_duplicates]),
+        }
+    )
+
+
+def pattern_validity(ds: rd.Dataset, column: str, regex: str) -> pa.Table:
+    """Anchored-regex validity counts (validators/patterns.py:203-234):
+    vectorized RE2 match per batch, summed on the driver."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        col = pc.cast(t[column], pa.string())
+        m = pc.match_substring_regex(col, f"^(?:{regex})$")
+        valid = int(pc.sum(pc.fill_null(m, False).cast(pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "total_rows": pa.array([t.num_rows], pa.int64()),
+                "valid_count": pa.array([valid], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    total = int(parts["total_rows"].sum())
+    valid = int(parts["valid_count"].sum())
+    return pa.table(
+        {
+            "column_name": pa.array([column]),
+            "total_rows": pa.array([total], pa.int64()),
+            "valid_count": pa.array([valid], pa.int64()),
+            "invalid_count": pa.array([total - valid], pa.int64()),
+            "passed": pa.array([total - valid == 0]),
+        }
+    )
+
+
+def integrity(
+    ds: rd.Dataset,
+    fk_column: str,
+    ref_ds: rd.Dataset,
+    ref_column: str,
+    allow_nulls: bool = True,
+) -> pa.Table:
+    """FK membership — the reference's only join, a broadcast anti-join
+    (validators/integrity.py:120-276): distinct reference keys are built
+    once, ``ray.put`` into the object store, and each batch membership-tests
+    against the broadcast set. No shuffle of the big side."""
+    ref_keys = ref_ds.select_columns([ref_column]).unique(ref_column)
+    ref_ref = ray.put(np.asarray(ref_keys))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref_ref)
+        col = t[fk_column]
+        nulls = int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0)
+        vals = col.drop_null().to_numpy(zero_copy_only=False)
+        orphaned = int((~np.isin(vals, keys)).sum())
+        return pa.table(
+            {
+                "total_rows": pa.array([t.num_rows], pa.int64()),
+                "null_count": pa.array([nulls], pa.int64()),
+                "orphaned_count": pa.array([orphaned], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([fk_column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    total = int(parts["total_rows"].sum())
+    nulls = int(parts["null_count"].sum())
+    orphans = int(parts["orphaned_count"].sum())
+    invalid = orphans + (0 if allow_nulls else nulls)
+    ratio = (total - orphans) / total if total else 1.0
+    return pa.table(
+        {
+            "fk_column": pa.array([fk_column]),
+            "total_rows": pa.array([total], pa.int64()),
+            "null_count": pa.array([nulls], pa.int64()),
+            "orphaned_count": pa.array([orphans], pa.int64()),
+            "integrity_ratio": pa.array([ratio], pa.float64()),
+            "passed": pa.array([invalid == 0]),
+        }
+    )

@@ -1,0 +1,100 @@
+"""Local simulation of the driver's correctness gate: run every queries()
+entry at a given sf and compare against oracle_sql() via DuckDB
+(row count + column names + order-insensitive exact values)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
+    if sorted(got.columns) != sorted(want.columns):
+        return f"SCHEMA MISMATCH got={sorted(got.columns)} want={sorted(want.columns)}"
+    if len(got) != len(want):
+        return f"ROWCOUNT {len(got)} vs {len(want)}"
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if np.issubdtype(g[c].dtype, np.floating):
+            if not np.array_equal(gv, wv.astype(gv.dtype)):
+                bad = np.nonzero(gv != wv)[0][:3]
+                return f"FLOAT DIFF col={c} rows={bad.tolist()} got={gv[bad]} want={wv[bad]}"
+        else:
+            eq = gv == wv
+            if not np.asarray(eq).all():
+                bad = np.nonzero(~np.asarray(eq))[0][:3]
+                return f"VALUE DIFF col={c} rows={bad.tolist()} got={gv[bad]} want={wv[bad]}"
+    return "OK"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    fails = 0
+    for name, fn in qs.items():
+        if only and only not in name:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:35s} EXEC-ERROR {type(exc).__name__}: {exc}")
+            fails += 1
+            continue
+        dt = time.time() - t0
+        if name in sqls:
+            want = con.sql(sqls[name]).df()
+            verdict = compare(name, got, want)
+        else:
+            verdict = f"rows-only ({len(got)} rows)"
+        status = verdict if verdict.startswith(("OK", "rows-only")) else f"FAIL {verdict}"
+        if status.startswith("FAIL"):
+            fails += 1
+        print(f"{name:35s} {dt:6.1f}s  {status}")
+    print("FAILURES:", fails)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
