@@ -35,7 +35,7 @@ def _images_corpus(sf_dir: str) -> str:
     (no external data; BASELINE.json input_hint table)."""
     from rayquality import synth
 
-    n = max(1000, int(200_000 * _sf_of(sf_dir)))
+    n = max(1000, int(600_000 * _sf_of(sf_dir)))
     return synth.ensure_corpus(n, seed=42)
 
 

@@ -1,0 +1,155 @@
+"""Benchmark harness: headline quality-filter pipeline + representative ops.
+
+Prints ONE JSON line:
+  {"metric": "quality_filter_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-op sec...}, "sf": <sf>, "num_cpus": N,
+   "images": <rows>, "images_per_sec": <rows/sec>}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+``--scaling`` runs the headline job in two FRESH processes at 8 and 32 CPUs
+on the same input (the sandbox stand-in for N vs 4N nodes) and prints both
+throughputs plus scaling efficiency = (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from rayquality import pipeline, synth
+    from rayquality.config import RunConfig
+
+    sf = entrymod._sf_of(sf_dir)
+    n_images = int(os.environ.get("RAYQUALITY_BENCH_IMAGES", "0")) or max(
+        1000, int(600_000 * sf)
+    )
+    write_kept = os.environ.get("RAYQUALITY_BENCH_WRITE_KEPT", "1") == "1"
+    corpus = synth.ensure_corpus(n_images, seed=42, use_ray=True)
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    import glob
+
+    for f in glob.glob(corpus + "/*.parquet"):
+        with open(f, "rb") as fh:
+            fh.read()
+
+    out = "/tmp/rayquality_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    summary = pipeline.run(
+        corpus,
+        RunConfig(
+            output_dir=out,
+            # proportional to the session size so the 8-vs-32 scaling
+            # comparison exercises a true 4x compute parallelism ratio
+            scorer_concurrency=max(2, (num_cpus * 3) // 4),
+            batch_size=512,
+            write_kept=write_kept,
+            resume=False,
+        ),
+    )
+    headline = time.time() - t0
+
+    queries = {}
+    qs = entrymod.queries()
+    skip_queries = os.environ.get("RAYQUALITY_BENCH_SKIP_QUERIES") == "1"
+    for name in () if skip_queries else (
+        "q1_pricing_summary",
+        "events_hourly",
+        "integrity_lineitem_orders",
+        "dedup_exact_documents",
+        "dedup_minhash_documents",
+        "lang_ppl_documents",
+        "ann_cosine_topk",
+        "top_customers_by_revenue",
+    ):
+        t = time.time()
+        res = qs[name](sf_dir)
+        # force execution for lazy Datasets
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        queries[name] = round(time.time() - t, 3)
+
+    result = {
+        "metric": "quality_filter_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "images": summary["total"],
+        "kept": summary["kept"],
+        "images_per_sec": round(summary["total"] / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # larger corpus + no kept materialization: the scaling criterion
+            # measures the same compute-dominated job at both levels
+            RAYQUALITY_BENCH_IMAGES=os.environ.get("RAYQUALITY_BENCH_IMAGES", "600000"),
+            RAYQUALITY_BENCH_WRITE_KEPT="0",
+            RAYQUALITY_BENCH_SKIP_QUERIES="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": r_lo["value"],
+        "sec_32cpu": r_hi["value"],
+        "images_per_sec_8cpu": r_lo["images_per_sec"],
+        "images_per_sec_32cpu": r_hi["images_per_sec"],
+        "sf": r_lo["sf"],
+        "images": r_lo["images"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,138 @@
+"""Command-line interface (mirrors the reference CLI surface, cli.py in
+/root/reference, over parquet/Lance directories instead of SQL databases).
+
+Commands:
+  analyze <table.parquet|dir>   run the validator engine + reports (reference
+                                ``analyze``/``validate`` path)
+  filter <corpus_dir>           run the flagship image quality-filter pipeline
+  list-tables <dir>             tables with row counts, sorted desc (cli.py:48-132)
+  describe-table <path>         schema + row count (cli.py:135-177)
+
+This entry point owns its Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from .engine import default_engine
+    from .report import ReportManager, analyze_results, quality_score
+
+    table_name = os.path.splitext(os.path.basename(args.path.rstrip("/")))[0]
+    ds = rd.read_parquet(args.path)
+    custom = dict(kv.split("=", 1) for kv in (args.pattern or []))
+    engine = default_engine(custom_patterns=custom or None)
+    results = engine.validate_data(ds, table_name)
+    summary = analyze_results(results)
+    paths = ReportManager(args.output_dir).generate_unified_report(
+        results, table_name, tuple(args.formats.split(","))
+    )
+    print(
+        f"{table_name}: {summary['passed_checks']}/{summary['total_checks']} checks passed "
+        f"({quality_score(summary['success_rate'])} {summary['success_rate']:.1f}%)"
+    )
+    for fmt, p in paths.items():
+        print(f"  {fmt}: {p}")
+    return 0 if summary["failed_checks"] == 0 else 1
+
+
+def cmd_filter(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    from .config import QualityConfig, RunConfig
+    from .pipeline import run
+
+    cfg = RunConfig(
+        output_dir=args.output_dir,
+        resume=not args.no_resume,
+        write_kept=not args.no_kept,
+        quality=QualityConfig(),
+    )
+    summary = run(args.corpus_dir, cfg)
+    print(json.dumps(summary, indent=1))
+    return 0
+
+
+def cmd_list_tables(args: argparse.Namespace) -> int:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(args.dir, "*.parquet"))):
+        rows.append((os.path.basename(f)[: -len(".parquet")], pq.read_metadata(f).num_rows))
+    for name, n in sorted(rows, key=lambda x: -x[1]):
+        print(f"{name:20s} {n:>12,}")
+    return 0
+
+
+def cmd_describe(args: argparse.Namespace) -> int:
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(args.path)
+    schema = pq.read_schema(args.path)
+    print(f"rows: {md.num_rows:,}   row groups: {md.num_row_groups}")
+    for f in schema:
+        print(f"  {f.name:20s} {f.type}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rayquality")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="run data-quality validators on a parquet table")
+    a.add_argument("path")
+    a.add_argument("--output-dir", default="reports")
+    a.add_argument("--formats", default="json,txt,html")
+    a.add_argument("--pattern", action="append", help="column=regex custom rule")
+    a.set_defaults(fn=cmd_analyze)
+
+    f = sub.add_parser("filter", help="run the image quality-filter pipeline")
+    f.add_argument("corpus_dir")
+    f.add_argument("--output-dir", default=None)
+    f.add_argument("--no-resume", action="store_true")
+    f.add_argument("--no-kept", action="store_true")
+    f.set_defaults(fn=cmd_filter)
+
+    lt = sub.add_parser("list-tables", help="list parquet tables by row count")
+    lt.add_argument("dir")
+    lt.set_defaults(fn=cmd_list_tables)
+
+    d = sub.add_parser("describe-table", help="schema + row count of a parquet table")
+    d.add_argument("path")
+    d.set_defaults(fn=cmd_describe)
+
+    args = p.parse_args(argv)
+    args.num_cpus = getattr(args, "num_cpus", None)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

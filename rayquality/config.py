@@ -40,6 +40,10 @@ class QualityConfig:
     allowed_fmts: tuple[str, ...] = ("raw", "ppm", "png", "lossy")
     check_decode: bool = True
     check_dims: bool = True
+    # recompute the perceptual hash from decoded pixels and require equality
+    # with the stored phash column (lossless formats only — lossy decode
+    # perturbs low-order DCT coefficients)
+    verify_phash: bool = True
     min_side: int = 8
     max_side: int = 8192
     # dedup

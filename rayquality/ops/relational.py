@@ -123,6 +123,13 @@ def top_customers_by_revenue(
         ).group_by("c_custkey").aggregate([("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["c_custkey", "revenue_cents", "n_orders"])
 
+    def block_topk(t: pa.Table) -> pa.Table:
+        # block-local top-k before the driver merge: no global sort needed
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_cents", "descending"), ("c_custkey", "ascending")]
+        )
+        return t.take(idx[:limit])
+
     agg = (
         orders.select_columns(["o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow")
@@ -131,9 +138,11 @@ def top_customers_by_revenue(
             Sum("revenue_cents", alias_name="revenue_cents"),
             Sum("n_orders", alias_name="n_orders"),
         )
-        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
-        .limit(limit)
+        .map_batches(block_topk, batch_format="pyarrow")
         .to_pandas()
+        .sort_values(["revenue_cents", "c_custkey"], ascending=[False, True])
+        .head(limit)
+        .reset_index(drop=True)
     )
     name_map = ray.get(name_map_ref)
     agg["c_name"] = agg["c_custkey"].map(name_map)

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 
 from .. import dedup as _dedup
 
@@ -259,6 +259,36 @@ def ngram_jaccard_pairs(
     size_map = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
 
     shingles = src.map_batches(lambda t: _shingle_table(t, id_col, text_col, k)[0], batch_format="pyarrow")
+
+    # prefilter: only shingles appearing in >1 doc can produce a pair; this
+    # avoids a per-singleton-group Python call in map_groups (combiner +
+    # broadcast of the shared-shingle set)
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("shingle").aggregate([("shingle", "count")])
+        return g.rename_columns(["shingle", "cnt"])
+
+    sc = (
+        shingles.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Max("cnt", alias_name="cmax"), Count(alias_name="nparts"))
+    )
+    shared = sc.map_batches(
+        lambda t: t.filter(
+            pc.or_(pc.greater(t["cmax"], 1), pc.greater(t["nparts"], 1))
+        ).select(["shingle"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    shared_set = shared["shingle"].to_numpy(np.int64)
+    if not len(shared_set):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    shared_ref = ray.put(shared_set)
+
+    def only_shared(t: pa.Table) -> pa.Table:
+        ss = ray.get(shared_ref)
+        mask = np.isin(t["shingle"].to_numpy(zero_copy_only=False), ss)
+        return t.filter(pa.array(mask))
+
+    shingles = shingles.map_batches(only_shared, batch_format="pyarrow")
 
     def pairs_in_group(g: pd.DataFrame) -> pa.Table:
         ids = sorted(set(g[id_col]))

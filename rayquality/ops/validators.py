@@ -69,14 +69,18 @@ def duplicate_values(ds: rd.Dataset, column: str, limit: int = 10) -> pa.Table:
     """Top duplicated values (validators/duplicates.py:302-310): groupby ->
     count>1 -> deterministic (count desc, value asc) top-k."""
     counts = ds.select_columns([column]).groupby(column).count()
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["count()"], 1))
+        idx = pc.sort_indices(t, sort_keys=[("count()", "descending"), (column, "ascending")])
+        return t.take(idx[:limit])
+
     top = (
-        counts.map_batches(
-            lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
-        )
-        .rename_columns({"count()": "cnt"})
-        .sort(["cnt", column], descending=[True, False])
-        .limit(limit)
+        counts.map_batches(block_topk, batch_format="pyarrow")
         .to_pandas()
+        .rename(columns={"count()": "cnt"})
+        .sort_values(["cnt", column], ascending=[False, True])
+        .head(limit)
     )
     return pa.table({"value": pa.array(top[column]), "cnt": pa.array(top["cnt"], pa.int64())})
 

@@ -108,8 +108,12 @@ def label(table: pa.Table | pd.DataFrame, cfg: QualityConfig | None = None) -> p
         if fmt_ok and cfg.check_decode:
             try:
                 img = codecs.decode(df["bytes"].iloc[i], fmt)
-                if cfg.check_dims:
-                    masks["dims_mismatch"][i] = img.shape[:2] != (h_meta, w_meta)
+                if cfg.check_dims and img.shape[:2] != (h_meta, w_meta):
+                    masks["dims_mismatch"][i] = True
+                elif cfg.verify_phash and fmt in codecs.LOSSLESS:
+                    from .phash import phash64
+
+                    masks["phash_mismatch"][i] = phash64(img) != int(df["phash"].iloc[i])
             except codecs.CodecError:
                 masks["decode_error"][i] = True
 

@@ -9,18 +9,20 @@ wide path — SURVEY.md §7.3):
       -> write_parquet(out/verdict/wave-N)  # all columns + pre-dedup verdict
 
   stage B (global, skinny columns only — the bytes column NEVER shuffles):
-    exact dedup: salted two-phase groupby().aggregate(Count, Min) over
-      (phash, salt); only groups with count>1 (the dup groups) return to the
-      driver and broadcast as {phash: winner_id} via ray.put
+    exact dedup: map-side combiner (one partial row per phash per batch,
+      which bounds hot-key groups) -> one groupby().aggregate(Sum, Min);
+      only groups with count>1 (the dup groups) return to the driver and
+      broadcast as {phash: winner_id} via ray.put
     near dedup: band-key explode -> Count prefilter (only multi-member band
       groups survive) -> map_groups pair verification -> driver union-find
       -> broadcast near-loser id set
     finalize: map_batches over the verdict waves rewrites keep/drop_reasons
       for dup losers; kept rows written to out/kept (caption = scrubbed)
 
-Skew: a degenerate hot phash (constant images) spreads over ``dedup_salt``
-buckets in phase 1 and collapses to <= salt rows per key in phase 2
-(SURVEY.md §4.2). Determinism: winner = min(image_id), never arrival order.
+Skew: a degenerate hot phash (constant images) collapses to one combiner
+row per batch before the shuffle, bounding every reduce group to <= #batches
+rows (SURVEY.md §4.2). Determinism: winner = min(image_id), never arrival
+order.
 """
 
 from __future__ import annotations
@@ -43,17 +45,6 @@ from .lineage import Manifest, input_fingerprint
 from .phash import band_keys
 from .scoring import Scorer
 from .verdict import REASONS
-
-
-def _add_salt(n_salt: int):
-    def fn(t: pa.Table) -> pa.Table:
-        salt = (
-            pd.util.hash_array(np.asarray(t["image_id"].to_pylist(), dtype=object))
-            % n_salt
-        ).astype(np.int64)
-        return t.append_column("salt", pa.array(salt))
-
-    return fn
 
 
 def _filter_keep_skinny(t: pa.Table) -> pa.Table:
@@ -100,21 +91,46 @@ def _tally(vds: rd.Dataset) -> dict:
     }
 
 
-def compute_exact_dup_map(cand: rd.Dataset, n_salt: int) -> dict[int, str]:
-    """{phash: winner_image_id} for phash groups with >1 candidate row."""
-    s1 = (
-        cand.map_batches(_add_salt(n_salt), batch_format="pyarrow")
-        .groupby(["phash", "salt"])
-        .aggregate(Count(alias_name="cnt"), Min("image_id", alias_name="win"))
-    )
-    s2 = s1.groupby("phash").aggregate(
-        Sum("cnt", alias_name="cnt"), Min("win", alias_name="win")
-    )
-    dup = s2.map_batches(
-        lambda t: t.filter(pc.greater(t["cnt"], 1)).select(["phash", "win"]),
-        batch_format="pyarrow",
-    ).to_pandas()  # dup groups only — the small side
-    return dict(zip(dup["phash"].astype(np.int64), dup["win"]))
+# below this many candidate rows the combiner partials are collected and
+# finished on the driver (a few MB); above it the final combine is a
+# distributed groupby — the honest path at 10^12 scale
+DRIVER_COMBINE_MAX = 2_000_000
+
+
+def compute_exact_dup_map(
+    cand: rd.Dataset, approx_candidates: int | None = None
+) -> tuple[dict[int, str], int]:
+    """({phash: winner_image_id} for dup groups, total exact-loser count).
+
+    Combiner pattern (map-side pre-aggregation): each batch collapses to one
+    partial row per phash (count + local min id) BEFORE anything moves, so a
+    degenerate hot key contributes at most one row per batch — this bounds
+    every reduce group and replaces salted two-phase reduction. The final
+    combine is adaptive: driver-side pandas below DRIVER_COMBINE_MAX
+    candidate rows (fixed shuffle overhead dwarfs the data), a distributed
+    groupby above. Only dup groups (count > 1) are broadcast.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("phash").aggregate([("image_id", "min"), ("image_id", "count")])
+        return g.rename_columns(["phash", "win", "cnt"])
+
+    partials = cand.map_batches(partial, batch_format="pyarrow")
+    small = approx_candidates is not None and approx_candidates <= DRIVER_COMBINE_MAX
+    if small:
+        pdf = partials.to_pandas()
+        g = pdf.groupby("phash", sort=False).agg(cnt=("cnt", "sum"), win=("win", "min"))
+        dup = g[g["cnt"] > 1].reset_index()
+    else:
+        s = partials.groupby("phash").aggregate(
+            Sum("cnt", alias_name="cnt"), Min("win", alias_name="win")
+        )
+        dup = s.map_batches(
+            lambda t: t.filter(pc.greater(t["cnt"], 1)),
+            batch_format="pyarrow",
+        ).to_pandas()  # dup groups only — the small side
+    losers = int((dup["cnt"] - 1).sum()) if len(dup) else 0
+    return dict(zip(dup["phash"].astype(np.int64), dup["win"])), losers
 
 
 def _explode_bands(n_bands: int):
@@ -135,11 +151,41 @@ def _explode_bands(n_bands: int):
 
 
 def compute_near_losers(
-    winners: rd.Dataset, max_hamming: int, n_bands: int
+    winners: rd.Dataset,
+    max_hamming: int,
+    n_bands: int,
+    approx_candidates: int | None = None,
 ) -> set[str]:
-    """Banded near-dup over global winners -> loser id set (driver union-find)."""
+    """Banded near-dup over global winners -> loser id set (driver union-find).
+
+    Adaptive like exact dedup: below DRIVER_COMBINE_MAX the exploded band
+    table (4 skinny rows per winner) is collected and grouped on the driver
+    with the same ``dedup.near_pairs_banded`` the oracle uses; above it the
+    band keys shuffle through a groupby with a count prefilter so only
+    multi-member band groups reach the per-group pair verification.
+    """
+    small = approx_candidates is not None and approx_candidates <= DRIVER_COMBINE_MAX
+    if small:
+        sk = winners.to_pandas()
+        pairs = dedup.near_pairs_banded(
+            sk["phash"].to_numpy(np.int64),
+            sk["image_id"].to_numpy(object),
+            max_hamming,
+            n_bands,
+        )
+        return dedup.component_losers(pairs)
+
     banded = winners.map_batches(_explode_bands(n_bands), batch_format="pyarrow")
-    kc = banded.groupby("bkey").aggregate(Count(alias_name="cnt"))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("bkey").aggregate([("bkey", "count")])
+        return g.rename_columns(["bkey", "cnt"])
+
+    kc = (
+        banded.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bkey")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
     hot_keys = kc.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], 1)).select(["bkey"]),
         batch_format="pyarrow",
@@ -173,29 +219,31 @@ def compute_near_losers(
     return dedup.component_losers(pairs)
 
 
-class Finalizer:
-    """Rewrites keep/drop_reasons for dup losers (broadcast lookups)."""
+def make_finalizer(dup_map_ref, near_ref):
+    """Task-based finalize fn: rewrites keep/drop_reasons for dup losers.
 
-    def __init__(self, dup_map_ref, near_ref) -> None:
-        self.dup_map: dict[int, str] = ray.get(dup_map_ref)
-        self.near: set[str] = ray.get(near_ref)
+    The broadcast lookups are ObjectRefs resolved per batch — a local
+    shared-memory get after the first touch on each worker, far cheaper
+    than spinning an actor pool for a pass this light."""
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def finalize(t: pa.Table) -> pa.Table:
+        dup_map: dict[int, str] = ray.get(dup_map_ref)
+        near: set[str] = ray.get(near_ref)
         keep = t["keep"].to_numpy(zero_copy_only=False).copy()
         ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
         exact = np.zeros(len(t), dtype=bool)
-        near = np.zeros(len(t), dtype=bool)
-        if self.dup_map:
+        near_m = np.zeros(len(t), dtype=bool)
+        if dup_map:
             for i in np.nonzero(keep)[0].tolist():
-                win = self.dup_map.get(int(ph[i]))
+                win = dup_map.get(int(ph[i]))
                 if win is not None and ids[i] != win:
                     exact[i] = True
-        if self.near:
+        if near:
             for i in np.nonzero(keep & ~exact)[0].tolist():
-                if ids[i] in self.near:
-                    near[i] = True
-        hit = exact | near
+                if ids[i] in near:
+                    near_m[i] = True
+        hit = exact | near_m
         if not hit.any():
             return t
         new_keep = keep & ~hit
@@ -203,7 +251,7 @@ class Finalizer:
         reasons = t["drop_reasons"].to_pylist()
         for i in np.nonzero(exact)[0].tolist():
             reasons[i] = ["exact_dup"]
-        for i in np.nonzero(near)[0].tolist():
+        for i in np.nonzero(near_m)[0].tolist():
             reasons[i] = ["near_dup"]
         # set_column in place preserves column order and list field naming
         ki = t.schema.get_field_index("keep")
@@ -212,6 +260,8 @@ class Finalizer:
         return t.set_column(
             ri, t.schema.field(ri), pa.array(reasons, t.schema.field(ri).type)
         )
+
+    return finalize
 
 
 def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
@@ -230,6 +280,10 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     ]
 
     # ---- stage A: per-wave verdict + scrub, checkpointed --------------------
+    import time as _time
+
+    phases: dict[str, float] = {}
+    t0 = _time.time()
     wave_dirs = []
     for wid, wfiles in enumerate(waves):
         wdir = os.path.join(out, "verdict", f"wave-{wid:05d}")
@@ -240,47 +294,94 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
         if os.path.exists(wdir):
             shutil.rmtree(wdir)  # partial output from a killed run
         vds = verdict_stage(wfiles, run_cfg)
-        vds.write_parquet(wdir)
+        # fewer, bigger files: caps downstream block count and driver-side
+        # metadata-fetch cost (45ms/file adds up across stage-B reads)
+        vds.write_parquet(wdir, min_rows_per_file=20_000)
         stats = _tally(rd.read_parquet(wdir, columns=["keep", "drop_reasons"]))
         manifest.record(wid, fp, wfiles, wdir, stats)
+    phases["stage_a"] = round(_time.time() - t0, 2)
+
+    # approximate candidate count from the wave manifests (drives the
+    # adaptive driver-vs-distributed combine in stage B)
+    approx_cand = sum(r["stats"].get("kept", 0) for r in manifest.load_all())
 
     # ---- stage B: global dedup over skinny columns --------------------------
     # read_parquet with a list treats entries as files — expand the wave dirs
+    t0 = _time.time()
     verdict_files = sorted(
         f for w in wave_dirs for f in glob.glob(os.path.join(w, "*.parquet"))
     )
-    all_verdicts = rd.read_parquet(verdict_files, columns=["phash", "image_id", "keep"])
-    cand = all_verdicts.map_batches(_filter_keep_skinny, batch_format="pyarrow")
-
-    dup_map: dict[int, str] = (
-        compute_exact_dup_map(cand, cfg.dedup_salt) if cfg.dedup_exact else {}
-    )
-    dup_map_ref = ray.put(dup_map)
-
+    dup_map: dict[int, str] = {}
+    exact_loser_count = 0
     near_losers: set[str] = set()
-    if cfg.near_dup:
-        dm = dup_map
-
-        def winners_only(t: pa.Table) -> pa.Table:
+    small = approx_cand <= DRIVER_COMBINE_MAX
+    if cfg.dedup_exact and small:
+        # ONE skinny pass serves both dedups: the driver combine of the
+        # per-batch (phash, min_id, count) partials yields the dup groups
+        # (exact losers) AND the per-phash winner set (near-dup candidates)
+        def partial(t: pa.Table) -> pa.Table:
             t = _filter_keep_skinny(t)
-            if not dm:
-                return t
-            ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
-            mask = np.ones(len(t), dtype=bool)
-            for i in range(len(t)):
-                win = dm.get(int(ph[i]))
-                if win is not None and ids[i] != win:
-                    mask[i] = False
-            return t.filter(pa.array(mask))
+            g = t.group_by("phash").aggregate([("image_id", "min"), ("image_id", "count")])
+            return g.rename_columns(["phash", "win", "cnt"])
 
-        winners = rd.read_parquet(
-            verdict_files, columns=["phash", "image_id", "keep"]
-        ).map_batches(winners_only, batch_format="pyarrow")
-        near_losers = compute_near_losers(
-            winners, cfg.near_dup_max_hamming, cfg.near_dup_bands
+        pdf = (
+            rd.read_parquet(verdict_files, columns=["phash", "image_id", "keep"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
         )
+        g = (
+            pdf.groupby("phash", sort=False)
+            .agg(cnt=("cnt", "sum"), win=("win", "min"))
+            .reset_index()
+        )
+        dupg = g[g["cnt"] > 1]
+        dup_map = dict(zip(dupg["phash"].astype(np.int64), dupg["win"]))
+        exact_loser_count = int((dupg["cnt"] - 1).sum())
+        phases["exact_dedup"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+        if cfg.near_dup:
+            pairs = dedup.near_pairs_banded(
+                g["phash"].to_numpy(np.int64),
+                g["win"].to_numpy(object),
+                cfg.near_dup_max_hamming,
+                cfg.near_dup_bands,
+            )
+            near_losers = dedup.component_losers(pairs)
+    else:
+        all_verdicts = rd.read_parquet(
+            verdict_files, columns=["phash", "image_id", "keep"]
+        )
+        cand = all_verdicts.map_batches(_filter_keep_skinny, batch_format="pyarrow")
+        if cfg.dedup_exact:
+            dup_map, exact_loser_count = compute_exact_dup_map(cand, approx_cand)
+        phases["exact_dedup"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+        if cfg.near_dup:
+            dm = dup_map
+
+            def winners_only(t: pa.Table) -> pa.Table:
+                t = _filter_keep_skinny(t)
+                if not dm:
+                    return t
+                ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
+                mask = np.ones(len(t), dtype=bool)
+                for i in range(len(t)):
+                    win = dm.get(int(ph[i]))
+                    if win is not None and ids[i] != win:
+                        mask[i] = False
+                return t.filter(pa.array(mask))
+
+            winners = rd.read_parquet(
+                verdict_files, columns=["phash", "image_id", "keep"]
+            ).map_batches(winners_only, batch_format="pyarrow")
+            near_losers = compute_near_losers(
+                winners, cfg.near_dup_max_hamming, cfg.near_dup_bands, approx_cand
+            )
+    dup_map_ref = ray.put(dup_map)
     near_ref = ray.put(near_losers)
+    phases["near_dedup"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
 
     # ---- finalize: rewrite dup verdicts, write final verdicts + kept corpus --
     skinny_cols = [
@@ -297,12 +398,12 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     final_dir = os.path.join(out, "final")
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
+    finalize = make_finalizer(dup_map_ref, near_ref)
     rd.read_parquet(verdict_files, columns=skinny_cols).map_batches(
-        Finalizer,
-        fn_constructor_args=(dup_map_ref, near_ref),
-        batch_format="pyarrow",
-        concurrency=2,
-    ).write_parquet(final_dir)
+        finalize, batch_format="pyarrow"
+    ).write_parquet(final_dir, min_rows_per_file=100_000)
+    phases["final_write"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
 
     kept_dir = os.path.join(out, "kept")
     if run_cfg.write_kept:
@@ -316,19 +417,29 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
             return t.set_column(idx, "caption", t["caption_scrubbed"])
 
         rd.read_parquet(verdict_files).map_batches(
-            Finalizer,
-            fn_constructor_args=(dup_map_ref, near_ref),
-            batch_format="pyarrow",
-            batch_size=run_cfg.batch_size,
-            concurrency=2,
-        ).map_batches(kept_rows, batch_format="pyarrow").write_parquet(kept_dir)
-
-    stats = _tally(
-        rd.read_parquet(
-            sorted(glob.glob(os.path.join(final_dir, "*.parquet"))),
-            columns=["keep", "drop_reasons"],
+            finalize, batch_format="pyarrow", batch_size=run_cfg.batch_size
+        ).map_batches(kept_rows, batch_format="pyarrow").write_parquet(
+            kept_dir, min_rows_per_file=20_000
         )
-    )
+    phases["kept_write"] = round(_time.time() - t0, 2)
+
+    # final tally by exact arithmetic over the wave manifests + dedup counts
+    # (no extra read: finalize only flips `keep` for the counted losers)
+    recs = manifest.load_all()
+    total = sum(r["stats"]["total"] for r in recs)
+    rule_hits: dict[str, int] = {}
+    for r in recs:
+        for k, v in r["stats"]["rule_hits"].items():
+            rule_hits[k] = rule_hits.get(k, 0) + v
+    if exact_loser_count:
+        rule_hits["exact_dup"] = exact_loser_count
+    if near_losers:
+        rule_hits["near_dup"] = len(near_losers)
+    stats = {
+        "total": total,
+        "kept": approx_cand - exact_loser_count - len(near_losers),
+        "rule_hits": {r: rule_hits[r] for r in REASONS if rule_hits.get(r)},
+    }
     summary = {
         "output_dir": out,
         "final_dir": final_dir,
@@ -336,6 +447,7 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
         "waves": len(waves),
         "exact_dup_groups": len(dup_map),
         "near_dup_losers": len(near_losers),
+        "phases": phases,
         **stats,
     }
     return summary

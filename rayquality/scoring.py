@@ -111,18 +111,26 @@ def score_batch(
     )
     decode_err = np.zeros(n, dtype=bool)
     dims_bad = np.zeros(n, dtype=bool)
+    phash_bad = np.zeros(n, dtype=bool)
     if cfg.check_decode:
+        from .phash import phash64
+
         blobs = batch["bytes"]
         fmts = batch["fmt"].to_pylist()
+        stored_ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
         for i in np.nonzero(fmt_ok)[0].tolist():
             try:
                 img = codecs.decode(blobs[i].as_py(), fmts[i])
                 if cfg.check_dims and img.shape[:2] != (h_meta[i], w_meta[i]):
                     dims_bad[i] = True
+                elif cfg.verify_phash and fmts[i] in codecs.LOSSLESS:
+                    # consistency: stored phash must match the decoded pixels
+                    phash_bad[i] = phash64(img) != stored_ph[i]
             except codecs.CodecError:
                 decode_err[i] = True
     masks["decode_error"] = decode_err
     masks["dims_mismatch"] = dims_bad
+    masks["phash_mismatch"] = phash_bad
 
     # PII scrub (rewrite in place; nullish rows pass through untouched)
     if cfg.scrub:

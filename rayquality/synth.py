@@ -189,6 +189,8 @@ def make_shard(shard: int, n_rows: int = ROWS_PER_SHARD, seed: int = 42) -> pa.T
             blob = blob[: max(4, len(blob) // 2)]
         elif v < 0.04:  # dimension metadata mismatch
             w_px += int(rng.integers(1, 5))
+        elif v < 0.045:  # corrupted phash column (consistency defect)
+            ph = int(np.int64(np.uint64(np.int64(ph)) ^ np.uint64(1 << int(rng.integers(0, 64)))))
 
         ids.append(image_id)
         blobs.append(blob)
@@ -226,7 +228,7 @@ def generate_parquet(
     """
     n_shards = max(1, (n_rows + rows_per_shard - 1) // rows_per_shard)
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    tag = f"{n_rows}:{seed}:{rows_per_shard}:v1"
+    tag = f"{n_rows}:{seed}:{rows_per_shard}:v2"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == tag:

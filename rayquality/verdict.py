@@ -31,6 +31,7 @@ REASONS = (
     "fmt_invalid",
     "decode_error",
     "dims_mismatch",
+    "phash_mismatch",
     "size_bounds",
     "exact_dup",
     "near_dup",

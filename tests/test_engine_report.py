@@ -1,0 +1,168 @@
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from rayquality.engine import (
+    CompletenessValidator,
+    DuplicatesValidator,
+    IntegrityValidator,
+    PatternsValidator,
+    Severity,
+    ValidationEngine,
+    ValidationResult,
+    default_engine,
+)
+from rayquality import report
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_completeness_validator(rd):
+    ds = rd.read_parquet(f"{SF}/customer.parquet")
+    results = CompletenessValidator(threshold=0.95).validate(ds, "customer")
+    assert len(results) == 5
+    assert all(r.passed for r in results)  # testdata has no nulls
+    assert all(r.validator == "completeness" for r in results)
+    with pytest.raises(ValueError):
+        CompletenessValidator(threshold=1.5)
+
+
+def test_duplicates_validator_triage(rd):
+    v = DuplicatesValidator()
+    assert v.should_validate("codigo_produto")  # unique pattern forces
+    assert not v.should_validate("user_email")  # skip pattern
+    assert not v.should_validate("fk_order")
+    assert v.should_validate("random_col")  # default validate
+    v2 = DuplicatesValidator(force_unique_columns={"user_email"})
+    assert v2.should_validate("user_email")  # explicit force wins
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet")
+    results = DuplicatesValidator(columns=["o_orderkey", "o_custkey"]).validate(ds, "orders")
+    by_col = {r.column_name: r for r in results}
+    assert by_col["o_orderkey"].passed  # PK unique
+    assert not by_col["o_custkey"].passed  # many dups
+    assert by_col["o_custkey"].affected_rows > 0
+
+
+def test_patterns_validator_custom(rd):
+    ds = rd.read_parquet(f"{SF}/customer.parquet")
+    results = PatternsValidator({"c_name": r"Customer#[0-9]{9}"}).validate(ds, "customer")
+    assert len(results) == 1 and results[0].passed
+
+
+def test_patterns_validator_checksum(rd):
+    df = pd.DataFrame({"cpf_col": ["123.456.789-09", "111.111.111-11", None]})
+    ds = rd.from_pandas(df)
+    results = PatternsValidator().validate(ds, "t")
+    assert len(results) == 1
+    r = results[0]
+    assert r.details["pattern_type"] == "cpf"
+    assert r.affected_rows == 1 and not r.passed  # null valid, one bad checksum
+
+
+def test_integrity_validator(rd):
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    customer = rd.read_parquet(f"{SF}/customer.parquet")
+    results = IntegrityValidator([("o_custkey", customer, "c_custkey")]).validate(
+        orders, "orders"
+    )
+    assert len(results) == 1 and results[0].passed
+    assert results[0].severity == Severity.CRITICAL
+
+
+def test_engine_error_isolation(rd):
+    class Boom:
+        def validate(self, ds, name):
+            raise RuntimeError("kaput")
+
+    eng = ValidationEngine()
+    eng.register_validator("boom", Boom())
+    eng.register_validator("completeness", CompletenessValidator(columns=["r_name"]))
+    ds = rd.read_parquet(f"{SF}/region.parquet")
+    results = eng.validate_data(ds, "region")
+    # the raising validator yields a CRITICAL result; the run continues
+    assert any(r.severity == Severity.CRITICAL and "kaput" in r.message for r in results)
+    assert any(r.validator == "completeness" and r.passed for r in results)
+
+
+def _mk(rule, sev, passed, affected, total, validator="patterns"):
+    return ValidationResult(
+        rule_name=rule,
+        table_name="t",
+        column_name=None,
+        severity=sev,
+        passed=passed,
+        message="m",
+        affected_rows=affected,
+        total_rows=total,
+        validator=validator,
+    )
+
+
+def test_report_summary_and_ordering():
+    results = [
+        _mk("a", Severity.WARNING, False, 50, 100, "completeness"),
+        _mk("b", Severity.CRITICAL, False, 5, 100, "integrity"),
+        _mk("c", Severity.ERROR, False, 99, 100, "duplicates"),
+        _mk("d", Severity.ERROR, False, 10, 100, "duplicates"),
+        _mk("e", Severity.INFO, True, 0, 100),
+    ]
+    s = report.analyze_results(results)
+    assert s["total_checks"] == 5 and s["passed_checks"] == 1
+    assert s["success_rate"] == 20.0
+    assert s["severity_breakdown"]["ERROR"] == {"total": 2, "passed": 0, "failed": 2}
+    assert s["validator_breakdown"]["duplicates"]["failed"] == 2
+    # ordering: severity priority first, then affected desc (summary_report.py:104-112)
+    order = [r.rule_name for r in report.top_issues(results)]
+    assert order == ["b", "c", "d", "a"]
+    # score buckets 95/85/70/50 (summary_report.py:136-147)
+    assert report.quality_score(96) == "EXCELLENT"
+    assert report.quality_score(85) == "GOOD"
+    assert report.quality_score(70) == "FAIR"
+    assert report.quality_score(50) == "POOR"
+    assert report.quality_score(49.9) == "CRITICAL"
+    assert report.analyze_results([])["success_rate"] == 100.0
+
+
+def test_report_manager_files(tmp_path):
+    results = [_mk("a", Severity.ERROR, False, 1, 10)]
+    rm = report.ReportManager(str(tmp_path))
+    paths = rm.generate_unified_report(results, "mytable")
+    assert set(paths) == {"json", "txt", "html"}
+    data = json.load(open(paths["json"]))
+    assert data["table_name"] == "mytable"
+    assert data["summary"]["failed_checks"] == 1
+    assert "TOP ISSUES" in open(paths["txt"]).read()
+    assert "<html" in open(paths["html"]).read()
+    for p in paths.values():
+        assert "data_quality_unified_mytable_" in os.path.basename(p)
+
+
+def test_cli_list_and_describe():
+    out = subprocess.run(
+        [sys.executable, "-m", "rayquality.cli", "list-tables", SF],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0
+    lines = out.stdout.strip().splitlines()
+    assert lines[0].split()[0] == "lineitem"  # biggest table first
+    out2 = subprocess.run(
+        [sys.executable, "-m", "rayquality.cli", "describe-table", f"{SF}/region.parquet"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out2.returncode == 0 and "r_name" in out2.stdout
