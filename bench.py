@@ -48,7 +48,13 @@ def run_bench() -> dict:
         1000, int(600_000 * sf)
     )
     write_kept = os.environ.get("RAYQUALITY_BENCH_WRITE_KEPT", "1") == "1"
-    corpus = synth.ensure_corpus(n_images, seed=42, use_ray=True)
+    corpus = synth.generate_parquet(
+        synth.default_corpus_dir(n_images, seed=42) + "_rs20k",
+        n_images,
+        seed=42,
+        rows_per_shard=20_000,  # fewer files: driver metadata fetch is ~45ms/file
+        use_ray=True,
+    )
 
     # warm the OS page cache so we measure compute+shuffle, not first disk read
     import glob
@@ -68,7 +74,9 @@ def run_bench() -> dict:
             # comparison exercises a true 4x compute parallelism ratio
             scorer_concurrency=max(2, (num_cpus * 3) // 4),
             batch_size=512,
+            wave_size=10_000,  # one checkpoint wave for the timed run
             write_kept=write_kept,
+            store_bytes=write_kept,
             resume=False,
         ),
     )
@@ -122,8 +130,14 @@ def run_scaling() -> dict:
             RAYQUALITY_BENCH_WRITE_KEPT="0",
             RAYQUALITY_BENCH_SKIP_QUERIES="1",
         )
+        cmd = [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")]
+        # ray.init(num_cpus=N) only caps SCHEDULING tokens — worker threads
+        # (Arrow IO, zlib) still use every core. Pin the whole process tree
+        # to N physical cores so the two levels honestly model N vs 4N nodes.
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

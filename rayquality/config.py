@@ -75,4 +75,8 @@ class RunConfig:
     resume: bool = True
     wave_size: int = 64  # input files per checkpoint wave (resume granularity)
     write_kept: bool = True  # materialize the filtered+scrubbed corpus
+    # keep the image bytes in the verdict checkpoints; required for
+    # write_kept (the kept pass re-reads them from the waves). Verdict-only
+    # runs can drop them: the original corpus still holds bytes by image_id
+    store_bytes: bool = True
     quality: QualityConfig = field(default_factory=QualityConfig)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .phash import band_keys, hamming_matrix
+from .phash import band_keys, hamming_matrix, popcount64
 
 # pairwise-verification cap per band group; larger groups are compared
 # within a phash-sorted sliding window (skew guard for degenerate corpora)
@@ -87,18 +87,55 @@ def near_pairs_banded(
     Produces exactly the pair set the distributed band-key groupby produces:
     group by each of the ``n_bands`` band keys, verify pairs within groups.
     """
-    keys = band_keys(np.asarray(phashes, dtype=np.int64), n_bands)  # (n, B)
+    phs = np.asarray(phashes, dtype=np.int64)
+    n = len(phs)
+    if n < 2:
+        return set()
+    keys = band_keys(phs, n_bands)  # (n, B)
     ids = np.asarray(image_ids, dtype=object)
-    out: set[tuple[str, str]] = set()
+    phu = phs.view(np.uint64)
+    all_i: list[np.ndarray] = []
+    all_j: list[np.ndarray] = []
     for b in range(n_bands):
         col = keys[:, b]
         order = np.argsort(col, kind="stable")
         col_s = col[order]
         bounds = np.nonzero(np.diff(col_s))[0] + 1
-        for grp in np.split(order, bounds):
-            if len(grp) >= 2:
-                out.update(verified_pairs(phashes[grp], ids[grp], max_hamming))
-    return out
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        sizes = ends - starts
+        # fully vectorized all-pairs-within-group: for offset k, pair every
+        # sorted position p with p+k while both lie in the same group. Loop
+        # length = largest group size (capped), each iteration pure numpy —
+        # no per-group Python even when most buckets collide at random.
+        grp_end = np.repeat(ends, sizes)  # group end for each sorted position
+        max_k = int(min(sizes.max(), GROUP_CAP))
+        # active set shrinks with k, so total work is ~the candidate-pair
+        # count, not O(n x max_group_size)
+        active = np.nonzero(grp_end - np.arange(n) > 1)[0]
+        for k in range(1, max_k):
+            active = active[grp_end[active] - active > k]
+            if len(active) == 0:
+                break
+            i_idx = order[active]
+            j_idx = order[active + k]
+            d = popcount64(phu[i_idx] ^ phu[j_idx])
+            ok = d <= max_hamming
+            if ok.any():
+                all_i.append(i_idx[ok])
+                all_j.append(j_idx[ok])
+    if not all_i:
+        return set()
+    ii = np.concatenate(all_i)
+    jj = np.concatenate(all_j)
+    # dedupe across bands on index pairs, then order each pair by id string
+    key = np.minimum(ii, jj).astype(np.int64) * n + np.maximum(ii, jj)
+    _, first = np.unique(key, return_index=True)
+    ii, jj = ii[first], jj[first]
+    a, b_ = ids[ii], ids[jj]
+    swap = a > b_
+    a[swap], b_[swap] = b_[swap], a[swap]
+    return set(zip(a.tolist(), b_.tolist()))
 
 
 def component_losers(pairs: "set[tuple[str, str]] | list[tuple[str, str]]") -> set[str]:

@@ -56,14 +56,81 @@ def verdict_stage(paths: list[str], run_cfg: RunConfig) -> rd.Dataset:
     ds = rd.read_parquet(paths)
     # autoscaling pool (1, n): a fixed pool of n could reserve every CPU of a
     # small session and starve the read/write tasks into a stall
-    return ds.map_batches(
+    session_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # fixed-size pool (no autoscale ramp), clamped so read/write tasks always
+    # have >= 2 CPUs — a pool covering the whole session deadlocks the stream
+    n = max(1, min(run_cfg.scorer_concurrency, session_cpus - 2))
+    out = ds.map_batches(
         Scorer,
         fn_constructor_args=(run_cfg.quality,),
         batch_format="pyarrow",
         batch_size=run_cfg.batch_size,
-        concurrency=(1, run_cfg.scorer_concurrency),
+        concurrency=(n, n),
         num_cpus=1,
     )
+    if not run_cfg.store_bytes:
+        out = out.drop_columns(["bytes"])
+    return out
+
+
+def _wave_scan(files: list[str]) -> tuple[dict, pa.Table]:
+    """One skinny pass over a written wave -> (tally stats, dedup partials).
+
+    Fuses the manifest tally with the exact-dedup combiner so stage B's
+    small path needs NO additional read of the verdict data. Returns
+    (stats dict, (phash, win, cnt) partial table of kept rows).
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["drop_reasons"])
+        vc = flat.value_counts() if len(flat) else None
+        reasons = vc.field("values").to_pylist() if vc is not None else []
+        counts = [int(c) for c in (vc.field("counts").to_pylist() if vc is not None else [])]
+        reasons += ["__total__", "__kept__"]
+        counts += [t.num_rows, int(pc.sum(t["keep"]).as_py() or 0)]
+        k = t.filter(t["keep"]).select(["phash", "image_id"])
+        g = k.group_by("phash").aggregate([("image_id", "min"), ("image_id", "count")])
+        n1, n2 = len(reasons), g.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["t"] * n1 + ["p"] * n2),
+                "reason": pa.array(reasons + [None] * n2, pa.string()),
+                "count": pa.array(counts + [0] * n2, pa.int64()),
+                "phash": pa.concat_arrays(
+                    [pa.array([0] * n1, pa.int64()), g["phash"].combine_chunks()]
+                ),
+                "win": pa.concat_arrays(
+                    [
+                        pa.array([None] * n1, pa.string()),
+                        g["image_id_min"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "cnt": pa.concat_arrays(
+                    [
+                        pa.array([0] * n1, pa.int64()),
+                        g["image_id_count"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    tbl = _collect_arrow(
+        rd.read_parquet(files, columns=["keep", "drop_reasons", "phash", "image_id"]).map_batches(
+            per_batch, batch_format="pyarrow"
+        )
+    )
+    is_t = pc.equal(tbl["kind"], "t")
+    trows = tbl.filter(is_t)
+    agg: dict[str, int] = {}
+    for r, c in zip(trows["reason"].to_pylist(), trows["count"].to_pylist()):
+        agg[r] = agg.get(r, 0) + c
+    stats = {
+        "total": int(agg.pop("__total__", 0)),
+        "kept": int(agg.pop("__kept__", 0)),
+        "rule_hits": {r: int(agg.get(r, 0)) for r in REASONS if agg.get(r)},
+    }
+    partials = tbl.filter(pc.invert(is_t)).select(["phash", "win", "cnt"])
+    return stats, partials
 
 
 def _tally(vds: rd.Dataset) -> dict:
@@ -97,6 +164,14 @@ def _tally(vds: rd.Dataset) -> dict:
 DRIVER_COMBINE_MAX = 2_000_000
 
 
+def _collect_arrow(ds: rd.Dataset) -> pa.Table:
+    """Collect a small dataset as one Arrow table (multithreaded C++ combine
+    beats pandas object-dtype groupby by ~10x on string keys)."""
+    import ray as _ray
+
+    return pa.concat_tables(_ray.get(ds.to_arrow_refs()))
+
+
 def compute_exact_dup_map(
     cand: rd.Dataset, approx_candidates: int | None = None
 ) -> tuple[dict[int, str], int]:
@@ -118,9 +193,10 @@ def compute_exact_dup_map(
     partials = cand.map_batches(partial, batch_format="pyarrow")
     small = approx_candidates is not None and approx_candidates <= DRIVER_COMBINE_MAX
     if small:
-        pdf = partials.to_pandas()
-        g = pdf.groupby("phash", sort=False).agg(cnt=("cnt", "sum"), win=("win", "min"))
-        dup = g[g["cnt"] > 1].reset_index()
+        tbl = _collect_arrow(partials)
+        g = tbl.group_by("phash").aggregate([("cnt", "sum"), ("win", "min")])
+        g = g.rename_columns(["phash", "cnt", "win"])
+        dup = g.filter(pc.greater(g["cnt"], 1)).to_pandas()
     else:
         s = partials.groupby("phash").aggregate(
             Sum("cnt", alias_name="cnt"), Min("win", alias_name="win")
@@ -285,20 +361,30 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     phases: dict[str, float] = {}
     t0 = _time.time()
     wave_dirs = []
+    partial_tables: list[pa.Table] | None = []  # None once over the small cap
+    partial_rows = 0
     for wid, wfiles in enumerate(waves):
         wdir = os.path.join(out, "verdict", f"wave-{wid:05d}")
         wave_dirs.append(wdir)
         fp = input_fingerprint(wfiles, cfg.digest())
-        if run_cfg.resume and manifest.completed(wid, fp):
-            continue
-        if os.path.exists(wdir):
-            shutil.rmtree(wdir)  # partial output from a killed run
-        vds = verdict_stage(wfiles, run_cfg)
-        # fewer, bigger files: caps downstream block count and driver-side
-        # metadata-fetch cost (45ms/file adds up across stage-B reads)
-        vds.write_parquet(wdir, min_rows_per_file=20_000)
-        stats = _tally(rd.read_parquet(wdir, columns=["keep", "drop_reasons"]))
-        manifest.record(wid, fp, wfiles, wdir, stats)
+        done = run_cfg.resume and manifest.completed(wid, fp)
+        if not done:
+            if os.path.exists(wdir):
+                shutil.rmtree(wdir)  # partial output from a killed run
+            vds = verdict_stage(wfiles, run_cfg)
+            # fewer, bigger files: caps downstream block count and
+            # driver-side metadata-fetch cost (~45ms/file on stage-B reads)
+            vds.write_parquet(wdir, min_rows_per_file=20_000)
+        # fused skinny pass: manifest tally + exact-dedup combiner partials
+        # (also re-run on resumed waves — stage B needs their partials)
+        stats, partials = _wave_scan(sorted(glob.glob(os.path.join(wdir, "*.parquet"))))
+        if not done:
+            manifest.record(wid, fp, wfiles, wdir, stats)
+        if partial_tables is not None:
+            partial_tables.append(partials)
+            partial_rows += partials.num_rows
+            if partial_rows > DRIVER_COMBINE_MAX:
+                partial_tables = None  # too big for a driver combine
     phases["stage_a"] = round(_time.time() - t0, 2)
 
     # approximate candidate count from the wave manifests (drives the
@@ -314,35 +400,28 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     dup_map: dict[int, str] = {}
     exact_loser_count = 0
     near_losers: set[str] = set()
-    small = approx_cand <= DRIVER_COMBINE_MAX
+    small = partial_tables is not None and approx_cand <= DRIVER_COMBINE_MAX
     if cfg.dedup_exact and small:
-        # ONE skinny pass serves both dedups: the driver combine of the
-        # per-batch (phash, min_id, count) partials yields the dup groups
-        # (exact losers) AND the per-phash winner set (near-dup candidates)
-        def partial(t: pa.Table) -> pa.Table:
-            t = _filter_keep_skinny(t)
-            g = t.group_by("phash").aggregate([("image_id", "min"), ("image_id", "count")])
-            return g.rename_columns(["phash", "win", "cnt"])
-
-        pdf = (
-            rd.read_parquet(verdict_files, columns=["phash", "image_id", "keep"])
-            .map_batches(partial, batch_format="pyarrow")
-            .to_pandas()
+        # zero extra reads: the fused wave scans already produced the
+        # (phash, min_id, count) combiner partials; the driver combine yields
+        # the dup groups (exact losers) AND the per-phash winner set
+        # (near-dup candidates) in one multithreaded Arrow group_by
+        ptbl = pa.concat_tables(partial_tables)
+        g = ptbl.group_by("phash").aggregate([("cnt", "sum"), ("win", "min")])
+        g = g.rename_columns(["phash", "cnt", "win"])
+        dupg = g.filter(pc.greater(g["cnt"], 1))
+        dup_map = dict(
+            zip(dupg["phash"].to_numpy(zero_copy_only=False), dupg["win"].to_pylist())
         )
-        g = (
-            pdf.groupby("phash", sort=False)
-            .agg(cnt=("cnt", "sum"), win=("win", "min"))
-            .reset_index()
+        exact_loser_count = (
+            int(pc.sum(pc.subtract(dupg["cnt"], 1)).as_py() or 0) if dupg.num_rows else 0
         )
-        dupg = g[g["cnt"] > 1]
-        dup_map = dict(zip(dupg["phash"].astype(np.int64), dupg["win"]))
-        exact_loser_count = int((dupg["cnt"] - 1).sum())
         phases["exact_dedup"] = round(_time.time() - t0, 2)
         t0 = _time.time()
         if cfg.near_dup:
             pairs = dedup.near_pairs_banded(
-                g["phash"].to_numpy(np.int64),
-                g["win"].to_numpy(object),
+                g["phash"].to_numpy(zero_copy_only=False),
+                np.asarray(g["win"].to_pylist(), dtype=object),
                 cfg.near_dup_max_hamming,
                 cfg.near_dup_bands,
             )
@@ -406,6 +485,8 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     t0 = _time.time()
 
     kept_dir = os.path.join(out, "kept")
+    if run_cfg.write_kept and not run_cfg.store_bytes:
+        raise ValueError("write_kept requires store_bytes=True")
     if run_cfg.write_kept:
         if os.path.exists(kept_dir):
             shutil.rmtree(kept_dir)

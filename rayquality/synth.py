@@ -40,7 +40,7 @@ SCHEMA = pa.schema(
     ]
 )
 
-ROWS_PER_SHARD = 2000
+ROWS_PER_SHARD = 2000  # tests/small corpora; large corpora pass rows_per_shard=20000
 _FMTS = ("raw", "ppm", "png", "lossy")
 _BAD_FMTS = ("webp", "gif", "bmp2")
 
