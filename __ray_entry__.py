@@ -195,6 +195,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
 
+    def ann_ivf_topk(sf):
+        (emb,) = _tables(sf, "embeddings")
+        return ann.ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+    def user_sessions(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        return windows.sessionize(ev, gap_minutes=30)
+
+    def sample_orders_mod(sf):
+        from rayquality.ops import windows
+
+        (orders,) = _tables(sf, "orders")
+        s = windows.systematic_sample(orders, "o_orderkey", modulus=20)
+        return (
+            s.select_columns(["o_orderkey", "o_custkey"])
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+
+    def revenue_by_segment(sf):
+        orders, customer = _tables(sf, "orders", "customer")
+        return relational.revenue_by_segment(orders, customer)
+
+    def image_features_sample(sf):
+        import glob as _glob
+
+        import numpy as np
+
+        from rayquality.ops import image as imops
+
+        corpus = _images_corpus(sf)
+        ds = rd.read_parquet(sorted(_glob.glob(corpus + "/*.parquet")))
+        feats = imops.image_features(ds).to_pandas()
+        feats["feat_mean"] = feats["feat"].map(lambda v: float(np.round(np.mean(v), 3)))
+        return (
+            feats[["image_id", "decoded_ok", "feat_mean"]]
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
     return {
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
@@ -217,6 +260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
         "dedup_embedding_documents": dedup_embedding_documents,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "user_sessions": user_sessions,
+        "sample_orders_mod": sample_orders_mod,
+        "revenue_by_segment": revenue_by_segment,
+        "image_features_sample": image_features_sample,
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,
     }
@@ -325,6 +373,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42 "
             "ORDER BY id_a, id_b"
+        ),
+        "user_sessions": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events) "
+            "SELECT user_id, CAST(1 + SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events "
+            "FROM d GROUP BY user_id ORDER BY user_id"
+        ),
+        "sample_orders_mod": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 0 "
+            "ORDER BY o_orderkey"
+        ),
+        "revenue_by_segment": (
+            "SELECT c.c_mktsegment, "
+            "SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents, "
+            "COUNT(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"
         ),
         "ann_cosine_topk": (
             "SELECT query_id, neighbor_id, rank FROM ("

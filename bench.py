@@ -49,10 +49,10 @@ def run_bench() -> dict:
     )
     write_kept = os.environ.get("RAYQUALITY_BENCH_WRITE_KEPT", "1") == "1"
     corpus = synth.generate_parquet(
-        synth.default_corpus_dir(n_images, seed=42) + "_rs20k",
+        synth.default_corpus_dir(n_images, seed=42) + "_rs40k",
         n_images,
         seed=42,
-        rows_per_shard=20_000,  # fewer files: driver metadata fetch is ~45ms/file
+        rows_per_shard=40_000,  # fewer files: driver metadata fetch is ~45ms/file
         use_ray=True,
     )
 

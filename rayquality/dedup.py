@@ -91,43 +91,60 @@ def near_pairs_banded(
     n = len(phs)
     if n < 2:
         return set()
-    keys = band_keys(phs, n_bands)  # (n, B)
     ids = np.asarray(image_ids, dtype=object)
+    parts = [band_pair_indices(phs, b, n_bands, max_hamming) for b in range(n_bands)]
+    return pairs_from_indices(parts, ids, n)
+
+
+def band_pair_indices(
+    phashes: np.ndarray, band: int, n_bands: int, max_hamming: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Verified near-dup index pairs for ONE band — pure numpy, so the
+    pipeline can fan the bands out as parallel Ray tasks while the oracle
+    runs them in a loop (identical results either way)."""
+    phs = np.asarray(phashes, dtype=np.int64)
+    n = len(phs)
     phu = phs.view(np.uint64)
+    col = band_keys(phs, n_bands)[:, band]
+    order = np.argsort(col, kind="stable")
+    col_s = col[order]
+    bounds = np.nonzero(np.diff(col_s))[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    sizes = ends - starts
+    # fully vectorized all-pairs-within-group: for offset k, pair every
+    # sorted position p with p+k while both lie in the same group. The
+    # active set shrinks with k, so total work is ~the candidate-pair count.
+    grp_end = np.repeat(ends, sizes)  # group end for each sorted position
+    max_k = int(min(sizes.max(), GROUP_CAP)) if n else 0
+    active = np.nonzero(grp_end - np.arange(n) > 1)[0]
     all_i: list[np.ndarray] = []
     all_j: list[np.ndarray] = []
-    for b in range(n_bands):
-        col = keys[:, b]
-        order = np.argsort(col, kind="stable")
-        col_s = col[order]
-        bounds = np.nonzero(np.diff(col_s))[0] + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [n]))
-        sizes = ends - starts
-        # fully vectorized all-pairs-within-group: for offset k, pair every
-        # sorted position p with p+k while both lie in the same group. Loop
-        # length = largest group size (capped), each iteration pure numpy —
-        # no per-group Python even when most buckets collide at random.
-        grp_end = np.repeat(ends, sizes)  # group end for each sorted position
-        max_k = int(min(sizes.max(), GROUP_CAP))
-        # active set shrinks with k, so total work is ~the candidate-pair
-        # count, not O(n x max_group_size)
-        active = np.nonzero(grp_end - np.arange(n) > 1)[0]
-        for k in range(1, max_k):
-            active = active[grp_end[active] - active > k]
-            if len(active) == 0:
-                break
-            i_idx = order[active]
-            j_idx = order[active + k]
-            d = popcount64(phu[i_idx] ^ phu[j_idx])
-            ok = d <= max_hamming
-            if ok.any():
-                all_i.append(i_idx[ok])
-                all_j.append(j_idx[ok])
+    for k in range(1, max_k):
+        active = active[grp_end[active] - active > k]
+        if len(active) == 0:
+            break
+        i_idx = order[active]
+        j_idx = order[active + k]
+        d = popcount64(phu[i_idx] ^ phu[j_idx])
+        ok = d <= max_hamming
+        if ok.any():
+            all_i.append(i_idx[ok])
+            all_j.append(j_idx[ok])
     if not all_i:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(all_i), np.concatenate(all_j)
+
+
+def pairs_from_indices(
+    parts: list[tuple[np.ndarray, np.ndarray]], ids: np.ndarray, n: int
+) -> set[tuple[str, str]]:
+    """Merge per-band index pairs -> deduped (id_a, id_b) set, a < b."""
+    nz = [(i, j) for i, j in parts if len(i)]
+    if not nz:
         return set()
-    ii = np.concatenate(all_i)
-    jj = np.concatenate(all_j)
+    ii = np.concatenate([i for i, _ in nz])
+    jj = np.concatenate([j for _, j in nz])
     # dedupe across bands on index pairs, then order each pair by id string
     key = np.minimum(ii, jj).astype(np.int64) * n + np.maximum(ii, jj)
     _, first = np.unique(key, return_index=True)

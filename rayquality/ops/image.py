@@ -1,0 +1,144 @@
+"""Multimodal operators: image decode / resize / feature-extract as
+actor-pool ``map_batches`` stages (brief: multimodal columns are opaque
+binary + typed metadata; the Ray-side plumbing is real and tested).
+
+Images use the in-repo codecs, so decode/resize/features are REAL here.
+Audio/video decoders don't exist in this environment — their stages carry
+the same plumbing (schema, batch signature, actor pool) with the decode
+kernel stubbed behind ``NotImplementedError`` as mandated by the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .. import codecs
+from ..phash import resize_bilinear, to_gray
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: bytes -> decode -> resize -> grid features.
+
+    Output per row: ``decoded_ok:bool``, ``feat:list<float32>[dim]`` (mean
+    RGB over a grid x 3 channels), zeros when undecodable.
+    """
+
+    def __init__(self, grid: int = 8) -> None:
+        self.grid = grid
+        self.dim = grid * grid * 3
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = np.zeros(n, dtype=bool)
+        feats = np.zeros((n, self.dim), dtype=np.float32)
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"]
+        g = self.grid
+        for i in range(n):
+            try:
+                img = codecs.decode(blobs[i].as_py(), fmts[i]).astype(np.float32)
+            except codecs.CodecError:
+                continue
+            ok[i] = True
+            # area-style pooling per channel via bilinear resize to (g, g)
+            for c in range(3):
+                feats[i, c * g * g : (c + 1) * g * g] = resize_bilinear(
+                    img[..., c].astype(np.float64), g, g
+                ).reshape(-1)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "decoded_ok": pa.array(ok),
+                "feat": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1)), self.dim
+                ),
+            }
+        )
+
+
+def image_features(
+    ds: rd.Dataset, grid: int = 8, concurrency: int = 4, batch_size: int = 256
+) -> rd.Dataset:
+    return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        ImageFeaturizer,
+        fn_constructor_args=(grid,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+class Thumbnailer:
+    """Actor-pool stage: decode -> resize -> re-encode (png) thumbnail."""
+
+    def __init__(self, side: int = 16) -> None:
+        self.side = side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        thumbs: list[bytes | None] = []
+        for blob, fmt in zip(t["bytes"], t["fmt"].to_pylist()):
+            try:
+                img = codecs.decode(blob.as_py(), fmt)
+            except codecs.CodecError:
+                thumbs.append(None)
+                continue
+            small = np.stack(
+                [
+                    resize_bilinear(img[..., c].astype(np.float64), self.side, self.side)
+                    for c in range(3)
+                ],
+                axis=-1,
+            )
+            thumbs.append(codecs.encode(np.clip(small, 0, 255).astype(np.uint8), "png"))
+        return pa.table(
+            {"image_id": t["image_id"], "thumb_png": pa.array(thumbs, pa.large_binary())}
+        )
+
+
+def thumbnails(ds: rd.Dataset, side: int = 16, concurrency: int = 4) -> rd.Dataset:
+    return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        Thumbnailer,
+        fn_constructor_args=(side,),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+class AudioFeaturizer:
+    """STUB (no audio codecs in this environment — brief mandates the
+    plumbing be real and the decode kernel stubbed).
+
+    Expected input schema: ``(clip_id: string, bytes: binary, codec: string,
+    sample_rate: int32)``; output ``(clip_id, feat: list<float32>)``.
+    """
+
+    def __init__(self) -> None:
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library (none available "
+            "offline); the stage contract is (clip_id, bytes, codec, "
+            "sample_rate) -> (clip_id, feat)"
+        )
+
+
+class VideoFrameSampler:
+    """STUB: frame sampling needs a video demuxer (none available offline).
+
+    Expected input: ``(video_id, bytes, container, fps)``; output one row
+    per sampled frame ``(video_id, frame_idx, frame_png)``.
+    """
+
+    def __init__(self, every_n: int = 30) -> None:
+        self.every_n = every_n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video demuxing requires a codec library (none available offline)"
+        )

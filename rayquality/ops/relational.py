@@ -147,3 +147,37 @@ def top_customers_by_revenue(
     name_map = ray.get(name_map_ref)
     agg["c_name"] = agg["c_custkey"].map(name_map)
     return agg[["c_custkey", "c_name", "revenue_cents", "n_orders"]]
+
+
+def revenue_by_segment(
+    orders: rd.Dataset, customer: rd.Dataset, num_partitions: int = 8
+) -> pd.DataFrame:
+    """Distributed hash join (``Dataset.join``, hash-partitioned on the key)
+    + grouped aggregate — the both-sides-large join path, in contrast to the
+    broadcast join in :func:`top_customers_by_revenue`."""
+    j = orders.select_columns(["o_custkey", "o_totalprice"]).join(
+        customer.select_columns(["c_custkey", "c_mktsegment"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"c_mktsegment": t["c_mktsegment"], "cents": _cents(t["o_totalprice"])}
+        ).group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)[
+        ["c_mktsegment", "revenue_cents", "n_orders"]
+    ]

@@ -226,6 +226,22 @@ def _explode_bands(n_bands: int):
     return fn
 
 
+@ray.remote(num_cpus=1)
+def _band_task(phs, band: int, n_bands: int, max_hamming: int):
+    # the ObjectRef argument is auto-resolved by Ray before the task runs
+    return dedup.band_pair_indices(phs, band, n_bands, max_hamming)
+
+
+def near_pairs_parallel(phs, ids, max_hamming: int, n_bands: int):
+    """Driver-path banding with the bands fanned out as Ray tasks (same
+    per-band kernel as the oracle's loop -> identical pair sets)."""
+    ph_ref = ray.put(np.asarray(phs, dtype=np.int64))
+    parts = ray.get(
+        [_band_task.remote(ph_ref, b, n_bands, max_hamming) for b in range(n_bands)]
+    )
+    return dedup.pairs_from_indices(parts, np.asarray(ids, dtype=object), len(phs))
+
+
 def compute_near_losers(
     winners: rd.Dataset,
     max_hamming: int,
@@ -419,9 +435,9 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
         phases["exact_dedup"] = round(_time.time() - t0, 2)
         t0 = _time.time()
         if cfg.near_dup:
-            pairs = dedup.near_pairs_banded(
+            pairs = near_pairs_parallel(
                 g["phash"].to_numpy(zero_copy_only=False),
-                np.asarray(g["win"].to_pylist(), dtype=object),
+                g["win"].to_pylist(),
                 cfg.near_dup_max_hamming,
                 cfg.near_dup_bands,
             )

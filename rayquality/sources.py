@@ -1,0 +1,56 @@
+"""Source/sink registry: format name -> reader, with an extension hook.
+
+Replaces the reference's DB-connector factory
+(``src/data_quality/connectors/factory.py:16-41`` in /root/reference:
+driver-name -> connector class + ``register_connector``) with a columnar
+format registry. Lance is the north-rule input format —
+``ray.data.read_lance`` exists in this Ray build but imports the ``lance``
+package at runtime, which is not installable offline (SURVEY.md §7.0), so
+the entry is registered behind an import guard and Parquet is the
+schema-identical fallback.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import ray.data as rd
+
+_READERS: dict[str, Callable[..., rd.Dataset]] = {}
+
+
+def register_source(name: str, reader: Callable[..., rd.Dataset]) -> None:
+    """Extension hook (factory.py:36-41 semantics)."""
+    _READERS[name.lower()] = reader
+
+
+def get_reader(name: str) -> Callable[..., rd.Dataset]:
+    try:
+        return _READERS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown source format {name!r}; registered: {sorted(_READERS)}"
+        ) from None
+
+
+def read_table(path: str, fmt: str = "parquet", **kwargs) -> rd.Dataset:
+    return get_reader(fmt)(path, **kwargs)
+
+
+def _read_lance(path: str, **kwargs) -> rd.Dataset:
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "the 'lance' package is not available in this environment; "
+            "use parquet (schema-identical) or install pylance"
+        ) from exc
+    return rd.read_lance(path, **kwargs)
+
+
+register_source("parquet", rd.read_parquet)
+register_source("csv", rd.read_csv)
+register_source("json", rd.read_json)
+register_source("text", rd.read_text)
+register_source("binary", rd.read_binary_files)
+register_source("lance", _read_lance)
