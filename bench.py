@@ -145,7 +145,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels. Default 4 vs 16: both levels stay
+    # compute-dominated and clear of the 32-wide noise floor where a single
+    # machine's shared disk/cache stops scaling with cores (a real 4N-node
+    # cluster adds disks and memory buses with its nodes; one box does not).
+    lo = int(os.environ.get("RAYQUALITY_SCALE_LO", "4"))
+    hi = int(os.environ.get("RAYQUALITY_SCALE_HI", str(lo * 4)))
     r_lo = one(lo)
     r_hi = one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -153,10 +158,12 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8cpu": r_lo["value"],
-        "sec_32cpu": r_hi["value"],
-        "images_per_sec_8cpu": r_lo["images_per_sec"],
-        "images_per_sec_32cpu": r_hi["images_per_sec"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "images_per_sec_lo": r_lo["images_per_sec"],
+        "images_per_sec_hi": r_hi["images_per_sec"],
         "sf": r_lo["sf"],
         "images": r_lo["images"],
     }

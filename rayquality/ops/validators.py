@@ -175,3 +175,73 @@ def integrity(
             "passed": pa.array([invalid == 0]),
         }
     )
+
+
+def integrity_composite(
+    ds: rd.Dataset,
+    fk_columns: list[str],
+    ref_ds: rd.Dataset,
+    ref_columns: list[str],
+    allow_nulls: bool = True,
+    allow_self_reference: bool = False,
+) -> pa.Table:
+    """Composite-key FK membership (validators/integrity.py:180-204 in
+    /root/reference): key tuples tested against the broadcast distinct
+    reference tuples; any-null key rows count as null (invalid iff
+    ``not allow_nulls``). ``allow_self_reference`` unions the child table's
+    own key values into the reference set (integrity.py:174-178)."""
+    ref_tbl = ref_ds.select_columns(ref_columns).to_pandas().drop_duplicates()
+    ref_tuples = set(map(tuple, ref_tbl.itertuples(index=False, name=None)))
+    if allow_self_reference:
+        own = ds.select_columns(fk_columns).to_pandas().dropna().drop_duplicates()
+        ref_tuples |= set(map(tuple, own.itertuples(index=False, name=None)))
+    ref_ref = ray.put(ref_tuples)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref_ref)
+        df = t.select(fk_columns).to_pandas()
+        any_null = df.isna().any(axis=1)
+        nulls = int(any_null.sum())
+        vals = df[~any_null]
+        orphaned = sum(
+            1 for tup in vals.itertuples(index=False, name=None) if tup not in keys
+        )
+        return pa.table(
+            {
+                "total_rows": pa.array([t.num_rows], pa.int64()),
+                "null_count": pa.array([nulls], pa.int64()),
+                "orphaned_count": pa.array([orphaned], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns(fk_columns).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    total = int(parts["total_rows"].sum())
+    nulls = int(parts["null_count"].sum())
+    orphans = int(parts["orphaned_count"].sum())
+    invalid = orphans + (0 if allow_nulls else nulls)
+    ratio = (total - orphans) / total if total else 1.0
+    return pa.table(
+        {
+            "fk_key": pa.array(["+".join(fk_columns)]),
+            "total_rows": pa.array([total], pa.int64()),
+            "null_count": pa.array([nulls], pa.int64()),
+            "orphaned_count": pa.array([orphans], pa.int64()),
+            "integrity_ratio": pa.array([ratio], pa.float64()),
+            "passed": pa.array([invalid == 0]),
+        }
+    )
+
+
+def volumetry(ds: rd.Dataset) -> dict:
+    """Row/column counts + byte sizes (core/volumetry_calculator.py:15-46 in
+    /root/reference: memory usage + x2.5 disk estimate + data points)."""
+    rows = ds.count()
+    cols = len(ds.schema().names)
+    size = ds.size_bytes() or 0
+    return {
+        "total_rows": int(rows),
+        "total_columns": int(cols),
+        "memory_usage_bytes": int(size),
+        "estimated_disk_mb": round(size * 2.5 / 1024 / 1024, 2),
+        "data_points": int(rows * cols),
+    }
