@@ -22,8 +22,12 @@ import time
 
 
 def input_fingerprint(paths: list[str], config_digest: str) -> str:
-    """Hash of (path, size) per input file + the rule-config digest."""
-    h = hashlib.sha256(config_digest.encode())
+    """Hash of (path, size) per input file + rule-config digest + package
+    version — the version term invalidates cached waves when the scoring
+    CODE changes without a config change (e.g. across build rounds)."""
+    from . import __version__
+
+    h = hashlib.sha256(f"{config_digest}:{__version__}".encode())
     for p in sorted(paths):
         h.update(p.encode())
         h.update(str(os.path.getsize(p)).encode())
