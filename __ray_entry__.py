@@ -221,6 +221,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders, customer = _tables(sf, "orders", "customer")
         return relational.revenue_by_segment(orders, customer)
 
+    def approx_distinct_orders(sf):
+        from rayquality.ops.sketch import approx_distinct
+
+        (orders,) = _tables(sf, "orders")
+        out = approx_distinct(orders, "o_custkey")
+        import pandas as pd
+
+        return pd.DataFrame([out])
+
     def image_features_sample(sf):
         import glob as _glob
 
@@ -264,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
+        "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,

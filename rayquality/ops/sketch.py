@@ -1,0 +1,114 @@
+"""Mergeable sketches: HyperLogLog approximate distinct counts.
+
+The reference's distinct counts are exact (``nunique``,
+``validators/duplicates.py:263-285`` in /root/reference) and stay exact here
+(:func:`rayquality.ops.validators.duplicates`); SURVEY.md §2.5 A2 documents
+HLL as the 10^12-scale option. Sketches are the canonical mergeable partial:
+one 2^p-register sketch per batch, elementwise-max merge, tiny driver
+combine — no shuffle at all, O(2^p) memory per column regardless of
+cardinality.
+
+Standard HLL (public algorithm, Flajolet et al.): register j = max rank of
+the (64-p)-bit suffix among hashes routed to j; estimate = alpha_m * m^2 /
+sum(2^-M) with linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraparound arithmetic)."""
+    with np.errstate(over="ignore"):
+        x = (x + _C1).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * _C2).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * _C3).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
+
+
+def _hash_values(values) -> np.ndarray:
+    """Column values -> uint64 hashes (stable across processes)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return _splitmix64(arr.astype(np.uint64))
+    if arr.dtype.kind == "f":
+        return _splitmix64(arr.astype(np.float64).view(np.uint64))
+    # strings/objects: pandas' stable 64-bit hash, then finalize
+    return _splitmix64(pd.util.hash_array(arr.astype(object)).astype(np.uint64))
+
+
+class HllSketch:
+    """One HLL sketch; merge with ``|=``; estimate with ``.estimate()``."""
+
+    def __init__(self, precision: int = 12, registers: np.ndarray | None = None) -> None:
+        if not 4 <= precision <= 18:
+            raise ValueError("precision must be in [4, 18]")
+        self.p = precision
+        self.m = 1 << precision
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        p = np.uint64(self.p)
+        idx = (h >> (np.uint64(64) - p)).astype(np.int64)
+        w = (h << p).astype(np.uint64)  # suffix shifted to the top
+        # rank = leading zeros of w + 1 (w == 0 -> max rank)
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w != 0
+        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rank = np.where(nz, 64 - bl + 1, 64 - int(p) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def add(self, values) -> None:
+        self.add_hashes(_hash_values(values))
+
+    def __ior__(self, other: "HllSketch") -> "HllSketch":
+        if other.p != self.p:
+            raise ValueError("precision mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+
+def approx_distinct(ds: rd.Dataset, column: str, precision: int = 12) -> dict:
+    """Approximate distinct count, shuffle-free: one sketch per batch,
+    elementwise-max merged on the driver. Returns estimate + metadata
+    (``exact=False`` flag mirrors the exactness contract in SURVEY A2)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        sk = HllSketch(precision)
+        col = t[column].drop_null()
+        if len(col):
+            sk.add(col.to_numpy(zero_copy_only=False))
+        return pa.table({"registers": pa.array([sk.registers.tobytes()], pa.large_binary())})
+
+    parts = ds.select_columns([column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    merged = HllSketch(precision)
+    for blob in parts["registers"]:
+        merged |= HllSketch(precision, np.frombuffer(blob, dtype=np.uint8).copy())
+    return {
+        "column": column,
+        "estimate": merged.estimate(),
+        "precision": precision,
+        "exact": False,
+    }

@@ -1,0 +1,52 @@
+"""Force the distributed (big-path) stage B — the 10^12-scale code path —
+and require bit-identical results to the driver-combine small path."""
+
+import glob
+import shutil
+
+import pyarrow.dataset as pds
+import pytest
+
+from rayquality import pipeline, synth
+from rayquality.config import RunConfig
+
+OUT_SMALL = "/tmp/rq_path_small"
+OUT_BIG = "/tmp/rq_path_big"
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return synth.ensure_corpus(2000, seed=42)
+
+
+def _final(out):
+    return (
+        pds.dataset(sorted(glob.glob(out + "/final/*.parquet")))
+        .to_table(columns=["image_id", "keep", "drop_reasons"])
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_distributed_stage_b_matches_driver_path(corpus, monkeypatch):
+    shutil.rmtree(OUT_SMALL, ignore_errors=True)
+    shutil.rmtree(OUT_BIG, ignore_errors=True)
+    s_small = pipeline.run(corpus, RunConfig(output_dir=OUT_SMALL, write_kept=False))
+    monkeypatch.setattr(pipeline, "DRIVER_COMBINE_MAX", 0)
+    s_big = pipeline.run(corpus, RunConfig(output_dir=OUT_BIG, write_kept=False))
+
+    assert s_big["kept"] == s_small["kept"]
+    assert s_big["exact_dup_groups"] == s_small["exact_dup_groups"]
+    assert s_big["near_dup_losers"] == s_small["near_dup_losers"]
+    assert s_big["rule_hits"] == s_small["rule_hits"]
+
+    a, b = _final(OUT_SMALL), _final(OUT_BIG)
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
+    mism = [
+        (x, y)
+        for x, y in zip(a["drop_reasons"].map(list), b["drop_reasons"].map(list))
+        if x != y
+    ]
+    assert not mism, mism[:5]
