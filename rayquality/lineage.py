@@ -77,6 +77,15 @@ class Manifest:
             json.dump(rec, f, indent=1)
         os.replace(tmp, self._path(wave_id))  # atomic publish
 
+    def prune(self, expected_waves: int) -> None:
+        """Drop records for wave ids beyond the current wave count (stale
+        leftovers from a run over a larger corpus in the same out dir)."""
+        for name in os.listdir(self.dir):
+            if name.startswith("wave-") and name.endswith(".json"):
+                wid = int(name[5:-5])
+                if wid >= expected_waves:
+                    os.remove(os.path.join(self.dir, name))
+
     def load_all(self) -> list[dict]:
         recs = []
         for name in sorted(os.listdir(self.dir)):

@@ -62,8 +62,6 @@ def encode_classes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     blob = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     classes = CLASS_LUT[blob].copy()
     # rewrite the separator bytes to SEP_CLASS (0xFF would alias class 29)
-    sep_pos = np.cumsum([len(b) for b in bufs])[:-1]  # positions after each piece
-    # bufs alternates text, sep, text, sep ... mark both bytes of every sep
     off = 0
     for i, t in enumerate(texts):
         off += len((t or "").encode("utf-8", "replace"))

@@ -63,11 +63,18 @@ class HllSketch:
         p = np.uint64(self.p)
         idx = (h >> (np.uint64(64) - p)).astype(np.int64)
         w = (h << p).astype(np.uint64)  # suffix shifted to the top
-        # rank = leading zeros of w + 1 (w == 0 -> max rank)
-        bl = np.zeros(len(w), dtype=np.int64)
+        # rank = leading zeros of w + 1 (w == 0 -> max rank); bit length is
+        # computed with exact integer binary search — float log2 rounds up
+        # across power-of-two boundaries for w >= 2^53 and skews ranks
+        bl = np.zeros(len(w), dtype=np.uint64)
+        v = w.copy()
+        for s_ in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s_))
+            bl[big] += np.uint64(s_)
+            v[big] >>= np.uint64(s_)
+        bl += v  # v is now 0 or 1
         nz = w != 0
-        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
-        rank = np.where(nz, 64 - bl + 1, 64 - int(p) + 1).astype(np.uint8)
+        rank = np.where(nz, np.uint64(64) - bl + np.uint64(1), np.uint64(64) - p + np.uint64(1)).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     def add(self, values) -> None:

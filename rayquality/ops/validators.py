@@ -102,14 +102,21 @@ def composite_duplicates(ds: rd.Dataset, columns: list[str], max_duplicates: int
     )
 
 
-def pattern_validity(ds: rd.Dataset, column: str, regex: str) -> pa.Table:
+def pattern_validity(
+    ds: rd.Dataset, column: str, regex: str, allow_nulls: bool = True
+) -> pa.Table:
     """Anchored-regex validity counts (validators/patterns.py:203-234):
-    vectorized RE2 match per batch, summed on the driver."""
+    null/empty counts valid iff ``allow_nulls``; non-null values are
+    stripped then anchored-matched — vectorized RE2 per batch, summed on
+    the driver (same null semantics as the CPF/CNPJ checksum path)."""
 
     def per_batch(t: pa.Table) -> pa.Table:
         col = pc.cast(t[column], pa.string())
-        m = pc.match_substring_regex(col, f"^(?:{regex})$")
-        valid = int(pc.sum(pc.fill_null(m, False).cast(pa.int64())).as_py() or 0)
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+        nullish = pc.or_(pc.is_null(col), pc.equal(stripped, ""))
+        m = pc.match_substring_regex(stripped, f"^(?:{regex})$")
+        ok = pc.if_else(nullish, pa.scalar(allow_nulls), m)
+        valid = int(pc.sum(ok.cast(pa.int64())).as_py() or 0)
         return pa.table(
             {
                 "total_rows": pa.array([t.num_rows], pa.int64()),

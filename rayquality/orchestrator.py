@@ -46,7 +46,9 @@ class Orchestrator:
         total = vol["total_rows"]
         analyzed = total
         if self.sample_size and total > self.sample_size:
-            ds = ds.random_sample(self.sample_size / total, seed=42)
+            # materialize the (small) sample once — every validator pass
+            # would otherwise re-execute read + random_sample from scratch
+            ds = ds.random_sample(self.sample_size / total, seed=42).materialize()
             analyzed = ds.count()
         metadata = {
             "table_name": name,

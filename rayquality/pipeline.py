@@ -58,15 +58,18 @@ def verdict_stage(paths: list[str], run_cfg: RunConfig) -> rd.Dataset:
     # small session and starve the read/write tasks into a stall
     session_cpus = int(ray.cluster_resources().get("CPU", 8))
     # fixed-size pool (no autoscale ramp), clamped so read/write tasks always
-    # have >= 2 CPUs — a pool covering the whole session deadlocks the stream
+    # have >= 2 CPUs — a pool covering the whole session deadlocks the stream.
+    # On sessions too small to leave headroom, actors take 0 CPU tokens so
+    # the scheduler can still interleave the read/write tasks.
     n = max(1, min(run_cfg.scorer_concurrency, session_cpus - 2))
+    actor_cpus = 1 if session_cpus >= 3 else 0
     out = ds.map_batches(
         Scorer,
         fn_constructor_args=(run_cfg.quality,),
         batch_format="pyarrow",
         batch_size=run_cfg.batch_size,
         concurrency=(n, n),
-        num_cpus=1,
+        num_cpus=actor_cpus,
     )
     if not run_cfg.store_bytes:
         out = out.drop_columns(["bytes"])
@@ -131,31 +134,6 @@ def _wave_scan(files: list[str]) -> tuple[dict, pa.Table]:
     }
     partials = tbl.filter(pc.invert(is_t)).select(["phash", "win", "cnt"])
     return stats, partials
-
-
-def _tally(vds: rd.Dataset) -> dict:
-    """Small reduce: total/kept + per-reason hit counts (partial per batch,
-    final combine on the driver — no shuffle)."""
-
-    def per_batch(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(t["drop_reasons"])
-        vc = flat.value_counts() if len(flat) else None
-        reasons = vc.field("values").to_pylist() if vc is not None else []
-        counts = vc.field("counts").to_pylist() if vc is not None else []
-        reasons += ["__total__", "__kept__"]
-        counts += [t.num_rows, int(pc.sum(t["keep"]).as_py() or 0)]
-        return pa.table({"reason": reasons, "count": counts})
-
-    parts = vds.select_columns(["keep", "drop_reasons"]).map_batches(
-        per_batch, batch_format="pyarrow"
-    )
-    pdf = parts.to_pandas()  # tiny: (#batches x #reasons) rows
-    agg = pdf.groupby("reason")["count"].sum().to_dict()
-    return {
-        "total": int(agg.pop("__total__", 0)),
-        "kept": int(agg.pop("__kept__", 0)),
-        "rule_hits": {r: int(agg.get(r, 0)) for r in REASONS if agg.get(r)},
-    }
 
 
 # below this many candidate rows the combiner partials are collected and
@@ -255,6 +233,11 @@ def compute_near_losers(
     with the same ``dedup.near_pairs_banded`` the oracle uses; above it the
     band keys shuffle through a groupby with a count prefilter so only
     multi-member band groups reach the per-group pair verification.
+
+    Parity note: both paths produce identical pairs for band groups up to
+    ``dedup.GROUP_CAP`` members; beyond the cap each path windows its
+    comparisons (a skew guard), so adversarial giant-band corpora are
+    deduplicated approximately and possibly differently per path.
     """
     small = approx_candidates is not None and approx_candidates <= DRIVER_COMBINE_MAX
     if small:
@@ -360,7 +343,10 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     """Full pipeline over a directory of input parquet shards -> summary dict."""
     run_cfg = run_cfg or RunConfig()
     cfg = run_cfg.quality
-    out = run_cfg.output_dir or f"/tmp/rayquality_out/{cfg.digest()}"
+    import hashlib as _hashlib
+
+    corpus_tag = _hashlib.sha1(os.path.abspath(corpus_dir).encode()).hexdigest()[:8]
+    out = run_cfg.output_dir or f"/tmp/rayquality_out/{cfg.digest()}_{corpus_tag}"
     os.makedirs(out, exist_ok=True)
     manifest = Manifest(out)
 
@@ -370,6 +356,12 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     waves = [
         files[i : i + run_cfg.wave_size] for i in range(0, len(files), run_cfg.wave_size)
     ]
+    # stale manifest records / wave dirs beyond the current wave count (a
+    # previous run over a larger corpus) would silently inflate the totals
+    manifest.prune(len(waves))
+    for stale in sorted(glob.glob(os.path.join(out, "verdict", "wave-*"))):
+        if int(stale.rsplit("-", 1)[1]) >= len(waves):
+            shutil.rmtree(stale)
 
     # ---- stage A: per-wave verdict + scrub, checkpointed --------------------
     import time as _time
@@ -391,8 +383,10 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
             # fewer, bigger files: caps downstream block count and
             # driver-side metadata-fetch cost (~45ms/file on stage-B reads)
             vds.write_parquet(wdir, min_rows_per_file=20_000)
+        if done and partial_tables is None:
+            continue  # stats already recorded; stage B re-reads on the big path
         # fused skinny pass: manifest tally + exact-dedup combiner partials
-        # (also re-run on resumed waves — stage B needs their partials)
+        # (also re-run on resumed waves — stage B's small path needs them)
         stats, partials = _wave_scan(sorted(glob.glob(os.path.join(wdir, "*.parquet"))))
         if not done:
             manifest.record(wid, fp, wfiles, wdir, stats)

@@ -234,6 +234,12 @@ def generate_parquet(
             if f.read().strip() == tag:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # stale shards from a previous generation with different parameters
+    # would silently inflate downstream globs — remove them first
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(out_dir, "shard-*.parquet")):
+        os.remove(old)
     shards = list(range(n_shards))
     last_rows = n_rows - (n_shards - 1) * rows_per_shard
 
