@@ -103,9 +103,20 @@ def band_pair_indices(
     pipeline can fan the bands out as parallel Ray tasks while the oracle
     runs them in a loop (identical results either way)."""
     phs = np.asarray(phashes, dtype=np.int64)
+    col = band_keys(phs, n_bands)[:, band]
+    return keyed_pair_indices(col, phs, max_hamming)
+
+
+def keyed_pair_indices(
+    keys: np.ndarray, phashes: np.ndarray, max_hamming: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Verified pairs among rows sharing a key — the vectorized offset-sweep
+    kernel shared by the driver path (key = one band) and the distributed
+    path (key = bkey within a hash partition)."""
+    phs = np.asarray(phashes, dtype=np.int64)
     n = len(phs)
     phu = phs.view(np.uint64)
-    col = band_keys(phs, n_bands)[:, band]
+    col = np.asarray(keys, dtype=np.int64)
     order = np.argsort(col, kind="stable")
     col_s = col[order]
     bounds = np.nonzero(np.diff(col_s))[0] + 1

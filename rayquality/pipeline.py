@@ -275,19 +275,31 @@ def compute_near_losers(
         mask = np.isin(t["bkey"].to_numpy(zero_copy_only=False), np.fromiter(hs, np.int64))
         return t.filter(pa.array(mask))
 
-    def pairs_fn(g: pd.DataFrame) -> pa.Table:
-        # within a group ids are unique post-exact-dedup; returning Arrow keeps
-        # Ray's block-size accounting happy on empty results
-        prs = dedup.verified_pairs(
-            g["phash"].to_numpy(np.int64), g["image_id"].to_numpy(object), max_hamming
+    # hash-partition by bkey (all rows of a key land together), then run the
+    # vectorized offset-sweep pair kernel per PARTITION — per-group Python
+    # (map_groups) is quadratically many calls when most 16-bit buckets
+    # collide at random, which is the normal regime at 10^6+ winners
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bk = t["bkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((bk % n_parts).astype(np.int64)))
+
+    def part_pairs(g: pd.DataFrame) -> pa.Table:
+        ii, jj = dedup.keyed_pair_indices(
+            g["bkey"].to_numpy(np.int64), g["phash"].to_numpy(np.int64), max_hamming
         )
-        a, b = zip(*prs) if prs else ((), ())
-        return pa.table({"a": pa.array(list(a), pa.string()), "b": pa.array(list(b), pa.string())})
+        ids = g["image_id"].to_numpy(object)
+        a, b_ = ids[ii], ids[jj]
+        swap = a > b_
+        a[swap], b_[swap] = b_[swap], a[swap]
+        return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b_, pa.string())})
 
     pairs_ds = (
         banded.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("bkey")
-        .map_groups(pairs_fn, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
     pdf = pairs_ds.to_pandas()  # verified pairs: small
     pairs = set(zip(pdf["a"], pdf["b"])) if len(pdf) else set()
