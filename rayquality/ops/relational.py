@@ -101,6 +101,10 @@ def events_hourly(events: rd.Dataset) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    # pin the timestamp unit: DuckDB date_trunc('hour') yields µs precision
+    # while Arrow floor_temporal preserves the source unit — a dtype-sensitive
+    # value hash (the driver's) treats [s] vs [us] as a mismatch
+    out["hour"] = out["hour"].astype("datetime64[us]")
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)[
         ["user_id", "hour", "n_events", "sum_value_cents"]
     ]

@@ -49,18 +49,83 @@ def completeness(ds: rd.Dataset, columns: list[str], threshold: float = 0.95) ->
 
 
 def duplicates(ds: rd.Dataset, column: str, max_duplicates: int = 0) -> pa.Table:
-    """Single-column duplicate stats (validators/duplicates.py:263-285):
-    ``duplicate_count = total - nunique`` via a skinny groupby shuffle."""
-    total = ds.count()
-    distinct = ds.select_columns([column]).groupby(column).count().count()
-    dup = total - distinct
+    """Single-column duplicate stats (validators/duplicates.py:263-285).
+
+    Null semantics follow the reference's ``ignore_nulls=True`` default:
+    nulls are excluded from distinct/duplicate arithmetic and surfaced as a
+    separate ``null_count`` (``duplicate_count = nonnull_total - nunique``).
+    Thin wrapper over :func:`multi_duplicates` (one column)."""
+    return multi_duplicates(ds, [column], max_duplicates)
+
+
+def multi_duplicates(
+    ds: rd.Dataset, columns: list[str], max_duplicates: int = 0
+) -> pa.Table:
+    """Distinct/duplicate stats for MANY columns in ONE pass + ONE shuffle.
+
+    Each batch pre-deduplicates per column (``pc.value_counts``) and emits
+    skinny (col, val-as-string, cnt) partials; a single
+    ``groupby(col, val)`` combines them; a final vectorized scan of the
+    (small) per-value table yields total/null/distinct per column. A
+    C-column table therefore costs one read pass, not C sequential groupby
+    jobs (VERDICT r1 item 7). The string cast of values is per-column
+    injective (grouping never crosses columns), so counts are exact.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        tbls = []
+        for c in columns:
+            vc = pc.value_counts(t[c].combine_chunks())
+            tbls.append(
+                pa.table(
+                    {
+                        "col": pa.array([c] * len(vc), pa.string()),
+                        "val": vc.field("values").cast(pa.string()),
+                        "cnt": vc.field("counts").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tbls)
+
+    counts = (
+        ds.select_columns(columns)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def reduce_counts(t: pa.Table) -> pa.Table:
+        isnull = pc.is_null(t["val"])
+        nullcnt = pc.if_else(isnull, t["cnt"], pa.scalar(0, pa.int64()))
+        g = pa.table(
+            {
+                "col": t["col"],
+                "total": t["cnt"],
+                "nulls": nullcnt,
+                "distinct": pc.invert(isnull).cast(pa.int64()),
+            }
+        ).group_by("col").aggregate([("total", "sum"), ("nulls", "sum"), ("distinct", "sum")])
+        return g.rename_columns(["col", "total", "nulls", "distinct"])
+
+    parts = counts.map_batches(reduce_counts, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("col", as_index=False).sum()
+    by_col = {r["col"]: r for _, r in agg.iterrows()}
+    rows = []
+    for c in columns:
+        r = by_col.get(c)
+        total = int(r["total"]) if r is not None else 0
+        nulls = int(r["nulls"]) if r is not None else 0
+        distinct = int(r["distinct"]) if r is not None else 0
+        dup = total - nulls - distinct
+        rows.append((c, total, nulls, distinct, dup, dup <= max_duplicates))
     return pa.table(
         {
-            "column_name": pa.array([column]),
-            "total_rows": pa.array([total], pa.int64()),
-            "distinct_count": pa.array([distinct], pa.int64()),
-            "duplicate_count": pa.array([dup], pa.int64()),
-            "passed": pa.array([dup <= max_duplicates]),
+            "column_name": pa.array([r[0] for r in rows]),
+            "total_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "null_count": pa.array([r[2] for r in rows], pa.int64()),
+            "distinct_count": pa.array([r[3] for r in rows], pa.int64()),
+            "duplicate_count": pa.array([r[4] for r in rows], pa.int64()),
+            "passed": pa.array([r[5] for r in rows]),
         }
     )
 

@@ -37,22 +37,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
+    """Dtype-STRICT comparison: the driver hashes values dtype-sensitively
+    (int64 vs float64, datetime64[s] vs [us] are mismatches), so this gate
+    must fail on any dtype divergence to predict the driver (VERDICT r1)."""
     if sorted(got.columns) != sorted(want.columns):
         return f"SCHEMA MISMATCH got={sorted(got.columns)} want={sorted(want.columns)}"
     if len(got) != len(want):
         return f"ROWCOUNT {len(got)} vs {len(want)}"
     g, w = canon(got), canon(want)
     for c in g.columns:
+        if g[c].dtype != w[c].dtype:
+            return f"DTYPE DIFF col={c} got={g[c].dtype} want={w[c].dtype}"
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
-        if np.issubdtype(g[c].dtype, np.floating):
-            if not np.array_equal(gv, wv.astype(gv.dtype)):
-                bad = np.nonzero(gv != wv)[0][:3]
-                return f"FLOAT DIFF col={c} rows={bad.tolist()} got={gv[bad]} want={wv[bad]}"
-        else:
-            eq = gv == wv
-            if not np.asarray(eq).all():
-                bad = np.nonzero(~np.asarray(eq))[0][:3]
-                return f"VALUE DIFF col={c} rows={bad.tolist()} got={gv[bad]} want={wv[bad]}"
+        eq = gv == wv
+        if not np.asarray(eq).all():
+            bad = np.nonzero(~np.asarray(eq))[0][:3]
+            return f"VALUE DIFF col={c} rows={bad.tolist()} got={gv[bad]} want={wv[bad]}"
     return "OK"
 
 
