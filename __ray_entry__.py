@@ -387,6 +387,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
+        # exact k=3 word-shingle Jaccard (mirrors textdedup._word_shingle_hashes:
+        # lower().split(), <k words -> one joined shingle, DISTINCT shingles)
+        "dedup_ngram_jaccard_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, CASE WHEN trim(text) = '' OR text IS NULL THEN []::VARCHAR[] "
+            "         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w "
+            "  FROM documents), "
+            "sh AS ("
+            "  SELECT doc_id, CASE "
+            "    WHEN len(w) >= 3 THEN list_distinct([array_to_string(list_slice(w, i+1, i+3), ' ') FOR i IN range(len(w) - 2)]) "
+            "    WHEN len(w) >= 1 THEN [array_to_string(w, ' ')] "
+            "    ELSE []::VARCHAR[] END AS shingles "
+            "  FROM toks), "
+            "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            "pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
+            "  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "sizes AS (SELECT doc_id, len(shingles) AS n FROM sh) "
+            "SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard "
+            "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE inter / (sa.n + sb.n - inter) >= 0.5 "
+            "ORDER BY id_a, id_b"
+        ),
         "dedup_embedding_documents": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -43,7 +43,20 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     table_name = os.path.splitext(os.path.basename(args.path.rstrip("/")))[0]
     ds = rd.read_parquet(args.path)
     custom = dict(kv.split("=", 1) for kv in (args.pattern or []))
-    engine = default_engine(custom_patterns=custom or None)
+    subset = args.validators.split(",") if args.validators else None
+    relations = None
+    if args.discover_fk:
+        from .engine import discover_relations
+
+        table_dir = os.path.dirname(os.path.abspath(args.path))
+        rels = discover_relations(table_dir).get(table_name, [])
+        relations = [
+            (fk, rd.read_parquet(os.path.join(table_dir, f"{parent}.parquet")), pk)
+            for fk, parent, pk in rels
+        ]
+    engine = default_engine(
+        relations=relations, custom_patterns=custom or None, validators=subset
+    )
     results = engine.validate_data(ds, table_name)
     summary = analyze_results(results)
     paths = ReportManager(args.output_dir).generate_unified_report(
@@ -91,8 +104,12 @@ def cmd_describe(args: argparse.Namespace) -> int:
     md = pq.read_metadata(args.path)
     schema = pq.read_schema(args.path)
     print(f"rows: {md.num_rows:,}   row groups: {md.num_row_groups}")
+    # nullability parity with the reference's describe-table
+    # (connectors/mysql.py:42-67 surfaces is_nullable; parquet has no
+    # column-default concept, so that field is always '-')
     for f in schema:
-        print(f"  {f.name:20s} {f.type}")
+        null = "NULL" if f.nullable else "NOT NULL"
+        print(f"  {f.name:20s} {f.type!s:18s} {null:9s} default=-")
     return 0
 
 
@@ -106,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--output-dir", default="reports")
     a.add_argument("--formats", default="json,txt,html")
     a.add_argument("--pattern", action="append", help="column=regex custom rule")
+    a.add_argument(
+        "--validators",
+        default=None,
+        help="comma-separated subset (completeness,duplicates,patterns,integrity)",
+    )
+    a.add_argument(
+        "--discover-fk",
+        action="store_true",
+        help="auto-discover FK relations from sibling tables' *key columns",
+    )
     a.set_defaults(fn=cmd_analyze)
 
     f = sub.add_parser("filter", help="run the image quality-filter pipeline")

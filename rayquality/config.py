@@ -49,8 +49,12 @@ class QualityConfig:
     # dedup
     dedup_exact: bool = True
     near_dup: bool = True
+    # recall guarantee requires bands > max_hamming (pigeonhole: d differing
+    # bits can break at most d bands); bands <= max_hamming silently misses
+    # worst-case pairs, so the default keeps bands = max_hamming + 1.
+    # Configs violating the relationship are allowed but approximate.
     near_dup_max_hamming: int = 4
-    near_dup_bands: int = 4
+    near_dup_bands: int = 5
     dedup_salt: int = 16  # salt buckets for skewed phash keys
     # scrub
     scrub: bool = True

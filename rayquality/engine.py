@@ -247,9 +247,11 @@ class PatternsValidator:
                     ptype = detected
             if ptype is None:
                 continue
+            samples: list[str] = []
             if regex is not None:
-                r = vops.pattern_validity(ds, col, regex).to_pandas().iloc[0]
+                r = vops.pattern_validity(ds, col, regex, with_samples=True).to_pandas().iloc[0]
                 invalid, total = int(r["invalid_count"]), int(r["total_rows"])
+                samples = list(r["invalid_samples"])
             else:
                 invalid, total = self._checksum_invalid(ds, col, ptype)
             out.append(
@@ -260,7 +262,12 @@ class PatternsValidator:
                     severity=Severity.ERROR,
                     passed=invalid == 0,
                     message=f"Column '{col}': {invalid} values fail {ptype} pattern",
-                    details={"pattern_type": ptype, "invalid_count": invalid},
+                    # <= 10 sample invalid values (reference patterns.py:230-231)
+                    details={
+                        "pattern_type": ptype,
+                        "invalid_count": invalid,
+                        "invalid_samples": samples,
+                    },
                     affected_rows=invalid,
                     total_rows=total,
                     validator="patterns",
@@ -305,7 +312,11 @@ class IntegrityValidator:
     def validate(self, ds: rd.Dataset, table_name: str) -> list[ValidationResult]:
         out = []
         for fk_col, ref_ds, ref_col in self.relations:
-            r = vops.integrity(ds, fk_col, ref_ds, ref_col, self.allow_nulls).to_pandas().iloc[0]
+            r = (
+                vops.integrity(ds, fk_col, ref_ds, ref_col, self.allow_nulls, with_samples=True)
+                .to_pandas()
+                .iloc[0]
+            )
             invalid = int(r["orphaned_count"]) + (
                 0 if self.allow_nulls else int(r["null_count"])
             )
@@ -320,10 +331,12 @@ class IntegrityValidator:
                         f"FK '{fk_col}': {int(r['orphaned_count'])} orphaned values "
                         f"(integrity {float(r['integrity_ratio']):.2%})"
                     ),
+                    # <= 10 sample orphaned values (reference integrity.py:234)
                     details={
                         "orphaned_count": int(r["orphaned_count"]),
                         "null_count": int(r["null_count"]),
                         "integrity_ratio": float(r["integrity_ratio"]),
+                        "orphaned_samples": list(r["orphaned_samples"]),
                     },
                     affected_rows=invalid,
                     total_rows=int(r["total_rows"]),
@@ -365,15 +378,80 @@ class ValidationEngine:
         return results
 
 
+def discover_relations(dir_path: str) -> dict[str, list[tuple[str, str, str]]]:
+    """FK auto-discovery over a DIRECTORY of parquet tables — the catalog
+    analog of the reference's ``information_schema.key_column_usage`` scan
+    (validators/integrity.py:306-362 in /root/reference), which has no
+    equivalent in a lake of files, so relations are sniffed from the
+    ubiquitous ``<prefix>_<name>key`` naming convention:
+
+      * a column whose name ends in ``key`` has suffix s (text after the
+        first ``_``, e.g. ``o_custkey`` -> ``custkey``)
+      * the PARENT of suffix s is the table whose name starts with
+        s minus the ``key`` tail (``custkey`` -> ``customer``) and which
+        itself has a column with suffix s (its PK)
+      * every OTHER table holding a column with suffix s gets an FK
+        relation to that parent
+
+    Returns {child_table: [(fk_column, parent_table, parent_column), ...]}.
+    Only schema metadata is read — no data IO.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    cols: dict[str, list[str]] = {}
+    for f in sorted(_glob.glob(_os.path.join(dir_path, "*.parquet"))):
+        name = _os.path.basename(f)[: -len(".parquet")]
+        cols[name] = _pq.read_schema(f).names
+    suffix_of = lambda c: c.split("_", 1)[1] if "_" in c else c  # noqa: E731
+    # parent per suffix: table whose own name matches the suffix stem
+    parents: dict[str, tuple[str, str]] = {}
+    for t, cs in cols.items():
+        for c in cs:
+            s = suffix_of(c)
+            if s.endswith("key") and t.startswith(s[: -len("key")]):
+                parents[s] = (t, c)
+    out: dict[str, list[tuple[str, str, str]]] = {}
+    for t, cs in cols.items():
+        rels = []
+        for c in cs:
+            s = suffix_of(c)
+            p = parents.get(s)
+            if p and p[0] != t:
+                rels.append((c, p[0], p[1]))
+        if rels:
+            out[t] = rels
+    return out
+
+
 def default_engine(
     relations: list[tuple[str, rd.Dataset, str]] | None = None,
     custom_patterns: dict[str, str] | None = None,
+    validators: list[str] | None = None,
 ) -> ValidationEngine:
-    """The reference's default validator set (core/orchestrator.py:67-78)."""
+    """The reference's default validator set (core/orchestrator.py:67-78).
+
+    ``validators`` subsets the registry by name (reference
+    cli.py:256-270 ``validate --validators completeness,duplicates``);
+    None/empty registers everything. Unknown names raise."""
+    known = ("completeness", "duplicates", "patterns", "integrity")
+    if validators:
+        bad = set(validators) - set(known)
+        if bad:
+            raise ValueError(f"unknown validators: {sorted(bad)} (known: {list(known)})")
+
+    def wanted(name: str) -> bool:
+        return not validators or name in validators
+
     eng = ValidationEngine()
-    eng.register_validator("completeness", CompletenessValidator())
-    eng.register_validator("duplicates", DuplicatesValidator())
-    eng.register_validator("patterns", PatternsValidator(custom_patterns))
-    if relations:
+    if wanted("completeness"):
+        eng.register_validator("completeness", CompletenessValidator())
+    if wanted("duplicates"):
+        eng.register_validator("duplicates", DuplicatesValidator())
+    if wanted("patterns"):
+        eng.register_validator("patterns", PatternsValidator(custom_patterns))
+    if relations and wanted("integrity"):
         eng.register_validator("integrity", IntegrityValidator(relations))
     return eng

@@ -59,15 +59,17 @@ class ImageFeaturizer:
 
 
 def image_features(
-    ds: rd.Dataset, grid: int = 8, concurrency: int = 4, batch_size: int = 256
+    ds: rd.Dataset, grid: int = 8, concurrency: int | None = None, batch_size: int = 256
 ) -> rd.Dataset:
+    from ..pool import actor_cpus, pool_size
+
     return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
         ImageFeaturizer,
         fn_constructor_args=(grid,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
-        num_cpus=1,
+        concurrency=(1, pool_size(concurrency)),
+        num_cpus=actor_cpus(),
     )
 
 
@@ -98,14 +100,16 @@ class Thumbnailer:
         )
 
 
-def thumbnails(ds: rd.Dataset, side: int = 16, concurrency: int = 4) -> rd.Dataset:
+def thumbnails(ds: rd.Dataset, side: int = 16, concurrency: int | None = None) -> rd.Dataset:
+    from ..pool import actor_cpus, pool_size
+
     return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
         Thumbnailer,
         fn_constructor_args=(side,),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, concurrency),
-        num_cpus=1,
+        concurrency=(1, pool_size(concurrency)),
+        num_cpus=actor_cpus(),
     )
 
 

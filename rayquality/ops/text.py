@@ -85,7 +85,12 @@ class _LangPpl:
 
 
 def lang_ppl(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Language-ID + perplexity scoring (actor pool, warm models)."""
+    """Language-ID + perplexity scoring (actor pool, warm models).
+
+    Pool size scales with the session (rayquality.pool) instead of a
+    hardcoded cap that would starve a large cluster."""
+    from ..pool import actor_cpus, pool_size
+
     return ds.select_columns([id_col, text_col]).map_batches(
-        _LangPpl, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+        _LangPpl, batch_format="pyarrow", concurrency=(1, pool_size()), num_cpus=actor_cpus()
     )

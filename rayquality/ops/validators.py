@@ -168,12 +168,15 @@ def composite_duplicates(ds: rd.Dataset, columns: list[str], max_duplicates: int
 
 
 def pattern_validity(
-    ds: rd.Dataset, column: str, regex: str, allow_nulls: bool = True
+    ds: rd.Dataset, column: str, regex: str, allow_nulls: bool = True,
+    with_samples: bool = False,
 ) -> pa.Table:
     """Anchored-regex validity counts (validators/patterns.py:203-234):
     null/empty counts valid iff ``allow_nulls``; non-null values are
     stripped then anchored-matched — vectorized RE2 per batch, summed on
-    the driver (same null semantics as the CPF/CNPJ checksum path)."""
+    the driver (same null semantics as the CPF/CNPJ checksum path).
+    ``with_samples`` appends an ``invalid_samples`` list column (<= 10
+    values, reference O4 parity)."""
 
     def per_batch(t: pa.Table) -> pa.Table:
         col = pc.cast(t[column], pa.string())
@@ -182,25 +185,34 @@ def pattern_validity(
         m = pc.match_substring_regex(stripped, f"^(?:{regex})$")
         ok = pc.if_else(nullish, pa.scalar(allow_nulls), m)
         valid = int(pc.sum(ok.cast(pa.int64())).as_py() or 0)
+        # <= 10 sample invalid values per batch (reference patterns.py:230-231
+        # keeps the first 10 seen; we keep the 10 SMALLEST so the samples are
+        # deterministic under any partitioning/arrival order)
+        bad = pc.drop_null(pc.if_else(ok, pa.scalar(None, pa.string()), stripped))
+        bad = bad.combine_chunks() if isinstance(bad, pa.ChunkedArray) else bad
+        samples = bad.take(pc.sort_indices(bad)[:10])
         return pa.table(
             {
                 "total_rows": pa.array([t.num_rows], pa.int64()),
                 "valid_count": pa.array([valid], pa.int64()),
+                "samples": pa.array([samples.to_pylist()], pa.list_(pa.string())),
             }
         )
 
     parts = ds.select_columns([column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
     total = int(parts["total_rows"].sum())
     valid = int(parts["valid_count"].sum())
-    return pa.table(
-        {
-            "column_name": pa.array([column]),
-            "total_rows": pa.array([total], pa.int64()),
-            "valid_count": pa.array([valid], pa.int64()),
-            "invalid_count": pa.array([total - valid], pa.int64()),
-            "passed": pa.array([total - valid == 0]),
-        }
-    )
+    out = {
+        "column_name": pa.array([column]),
+        "total_rows": pa.array([total], pa.int64()),
+        "valid_count": pa.array([valid], pa.int64()),
+        "invalid_count": pa.array([total - valid], pa.int64()),
+        "passed": pa.array([total - valid == 0]),
+    }
+    if with_samples:
+        samples = sorted(v for lst in parts["samples"] for v in lst)[:10]
+        out["invalid_samples"] = pa.array([samples], pa.list_(pa.string()))
+    return pa.table(out)
 
 
 def integrity(
@@ -209,11 +221,15 @@ def integrity(
     ref_ds: rd.Dataset,
     ref_column: str,
     allow_nulls: bool = True,
+    with_samples: bool = False,
 ) -> pa.Table:
     """FK membership — the reference's only join, a broadcast anti-join
     (validators/integrity.py:120-276): distinct reference keys are built
     once, ``ray.put`` into the object store, and each batch membership-tests
-    against the broadcast set. No shuffle of the big side."""
+    against the broadcast set. No shuffle of the big side.
+    ``with_samples`` appends an ``orphaned_samples`` list column (<= 10
+    values — the reference keeps the first 10 seen, integrity.py:234; we
+    keep the 10 smallest for partitioning-independent determinism)."""
     ref_keys = ref_ds.select_columns([ref_column]).unique(ref_column)
     ref_ref = ray.put(np.asarray(ref_keys))
 
@@ -222,12 +238,15 @@ def integrity(
         col = t[fk_column]
         nulls = int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0)
         vals = col.drop_null().to_numpy(zero_copy_only=False)
-        orphaned = int((~np.isin(vals, keys)).sum())
+        orphan_mask = ~np.isin(vals, keys)
+        orphaned = int(orphan_mask.sum())
+        samples = np.sort(vals[orphan_mask])[:10]
         return pa.table(
             {
                 "total_rows": pa.array([t.num_rows], pa.int64()),
                 "null_count": pa.array([nulls], pa.int64()),
                 "orphaned_count": pa.array([orphaned], pa.int64()),
+                "samples": pa.array([[str(v) for v in samples]], pa.list_(pa.string())),
             }
         )
 
@@ -237,16 +256,18 @@ def integrity(
     orphans = int(parts["orphaned_count"].sum())
     invalid = orphans + (0 if allow_nulls else nulls)
     ratio = (total - orphans) / total if total else 1.0
-    return pa.table(
-        {
-            "fk_column": pa.array([fk_column]),
-            "total_rows": pa.array([total], pa.int64()),
-            "null_count": pa.array([nulls], pa.int64()),
-            "orphaned_count": pa.array([orphans], pa.int64()),
-            "integrity_ratio": pa.array([ratio], pa.float64()),
-            "passed": pa.array([invalid == 0]),
-        }
-    )
+    out = {
+        "fk_column": pa.array([fk_column]),
+        "total_rows": pa.array([total], pa.int64()),
+        "null_count": pa.array([nulls], pa.int64()),
+        "orphaned_count": pa.array([orphans], pa.int64()),
+        "integrity_ratio": pa.array([ratio], pa.float64()),
+        "passed": pa.array([invalid == 0]),
+    }
+    if with_samples:
+        samples = sorted(v for lst in parts["samples"] for v in lst)[:10]
+        out["orphaned_samples"] = pa.array([samples], pa.list_(pa.string()))
+    return pa.table(out)
 
 
 def integrity_composite(

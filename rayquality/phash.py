@@ -107,19 +107,24 @@ def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def band_keys(phashes: np.ndarray, n_bands: int = 4) -> np.ndarray:
-    """Split each 64-bit hash into ``n_bands`` equal bit-bands (LSH keys).
+    """Split each 64-bit hash into ``n_bands`` bit-bands (LSH keys).
 
+    Bands cover ALL 64 bits: when 64 % n_bands != 0 the first bands are one
+    bit wider (for 64 % n_bands == 0 this is identical to equal bands).
     Hashes within hamming distance d < n_bands are guaranteed to share at
-    least one exact band (pigeonhole), so banding finds all near-dups with
-    d <= n_bands - 1 and most with slightly larger d.
+    least one exact band (pigeonhole — unequal widths don't weaken it), so
+    banding finds all near-dups with d <= n_bands - 1 and most with
+    slightly larger d.
 
     Returns an (n, n_bands) int64 array; key i encodes (band_index, bits).
     """
-    bits = 64 // n_bands
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    starts = np.cumsum([0] + widths[:-1])
     u = np.asarray(phashes, dtype=np.int64).view(np.uint64)
-    mask = np.uint64((1 << bits) - 1)
     out = np.empty((len(u), n_bands), dtype=np.uint64)
     for i in range(n_bands):
-        band = (u >> np.uint64(i * bits)) & mask
-        out[:, i] = (np.uint64(i) << np.uint64(60)) | band
+        mask = np.uint64((1 << widths[i]) - 1)
+        band = (u >> np.uint64(starts[i])) & mask
+        out[:, i] = (np.uint64(i) << np.uint64(58)) | band
     return out.view(np.int64)

@@ -53,23 +53,20 @@ def _filter_keep_skinny(t: pa.Table) -> pa.Table:
 
 def verdict_stage(paths: list[str], run_cfg: RunConfig) -> rd.Dataset:
     """read -> fused scoring stage (pre-dedup verdict columns appended)."""
+    from .pool import actor_cpus, pool_size
+
     ds = rd.read_parquet(paths)
-    # autoscaling pool (1, n): a fixed pool of n could reserve every CPU of a
-    # small session and starve the read/write tasks into a stall
-    session_cpus = int(ray.cluster_resources().get("CPU", 8))
     # fixed-size pool (no autoscale ramp), clamped so read/write tasks always
-    # have >= 2 CPUs — a pool covering the whole session deadlocks the stream.
-    # On sessions too small to leave headroom, actors take 0 CPU tokens so
-    # the scheduler can still interleave the read/write tasks.
-    n = max(1, min(run_cfg.scorer_concurrency, session_cpus - 2))
-    actor_cpus = 1 if session_cpus >= 3 else 0
+    # have >= 2 CPUs — a pool covering the whole session deadlocks the stream
+    # (shared sizing logic in rayquality.pool)
+    n = pool_size(run_cfg.scorer_concurrency)
     out = ds.map_batches(
         Scorer,
         fn_constructor_args=(run_cfg.quality,),
         batch_format="pyarrow",
         batch_size=run_cfg.batch_size,
         concurrency=(n, n),
-        num_cpus=actor_cpus,
+        num_cpus=actor_cpus(),
     )
     if not run_cfg.store_bytes:
         out = out.drop_columns(["bytes"])
@@ -322,14 +319,12 @@ def make_finalizer(dup_map_ref, near_ref):
         exact = np.zeros(len(t), dtype=bool)
         near_m = np.zeros(len(t), dtype=bool)
         if dup_map:
-            for i in np.nonzero(keep)[0].tolist():
-                win = dup_map.get(int(ph[i]))
-                if win is not None and ids[i] != win:
-                    exact[i] = True
+            # vectorized: map phash -> winner id, loser = kept row whose id
+            # differs from its group winner (no per-row dict loop)
+            wins = pd.Series(ph).map(dup_map)
+            exact = keep & wins.notna().to_numpy() & (wins.to_numpy(object) != ids)
         if near:
-            for i in np.nonzero(keep & ~exact)[0].tolist():
-                if ids[i] in near:
-                    near_m[i] = True
+            near_m = keep & ~exact & pd.Series(ids).isin(near).to_numpy()
         hit = exact | near_m
         if not hit.any():
             return t
@@ -466,11 +461,8 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
                     return t
                 ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
                 ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
-                mask = np.ones(len(t), dtype=bool)
-                for i in range(len(t)):
-                    win = dm.get(int(ph[i]))
-                    if win is not None and ids[i] != win:
-                        mask[i] = False
+                wins = pd.Series(ph).map(dm)
+                mask = wins.isna().to_numpy() | (wins.to_numpy(object) == ids)
                 return t.filter(pa.array(mask))
 
             winners = rd.read_parquet(
@@ -500,31 +492,45 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     finalize = make_finalizer(dup_map_ref, near_ref)
-    rd.read_parquet(verdict_files, columns=skinny_cols).map_batches(
-        finalize, batch_format="pyarrow"
-    ).write_parquet(final_dir, min_rows_per_file=100_000)
-    phases["final_write"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-
     kept_dir = os.path.join(out, "kept")
     if run_cfg.write_kept and not run_cfg.store_bytes:
         raise ValueError("write_kept requires store_bytes=True")
     if run_cfg.write_kept:
+        # ONE full-width read emits BOTH outputs: each batch finalizes,
+        # spills its skinny rows into final/ from the task, and streams the
+        # kept full-width rows on to the kept/ sink (the wide bytes column is
+        # read once, not twice)
         if os.path.exists(kept_dir):
             shutil.rmtree(kept_dir)
+        os.makedirs(final_dir, exist_ok=True)
 
-        def kept_rows(t: pa.Table) -> pa.Table:
+        def finalize_both(t: pa.Table) -> pa.Table:
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            t = finalize(t)
+            pq.write_table(
+                t.select(skinny_cols),
+                os.path.join(final_dir, f"part-{uuid.uuid4().hex}.parquet"),
+            )
             t = t.filter(t["keep"])
             # the product caption IS the scrubbed caption
             idx = t.schema.get_field_index("caption")
             return t.set_column(idx, "caption", t["caption_scrubbed"])
 
         rd.read_parquet(verdict_files).map_batches(
-            finalize, batch_format="pyarrow", batch_size=run_cfg.batch_size
-        ).map_batches(kept_rows, batch_format="pyarrow").write_parquet(
-            kept_dir, min_rows_per_file=20_000
+            finalize_both, batch_format="pyarrow", batch_size=run_cfg.batch_size
+        ).write_parquet(kept_dir, min_rows_per_file=20_000)
+        phases["final_write"] = phases["kept_write"] = round(
+            (_time.time() - t0) / 2, 2
         )
-    phases["kept_write"] = round(_time.time() - t0, 2)
+    else:
+        rd.read_parquet(verdict_files, columns=skinny_cols).map_batches(
+            finalize, batch_format="pyarrow"
+        ).write_parquet(final_dir, min_rows_per_file=100_000)
+        phases["final_write"] = round(_time.time() - t0, 2)
+        phases["kept_write"] = 0.0
 
     # final tally by exact arithmetic over the wave manifests + dedup counts
     # (no extra read: finalize only flips `keep` for the counted losers)

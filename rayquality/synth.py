@@ -138,9 +138,19 @@ def _gradient_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def make_shard(shard: int, n_rows: int = ROWS_PER_SHARD, seed: int = 42) -> pa.Table:
-    """Deterministic shard -> Arrow table with the input_hint schema."""
+def make_shard(
+    shard: int, n_rows: int = ROWS_PER_SHARD, seed: int = 42, id_base: int | None = None
+) -> pa.Table:
+    """Deterministic shard -> Arrow table with the input_hint schema.
+
+    ``id_base`` is the first global row index of this shard; it defaults to
+    ``shard * n_rows`` which is ONLY correct when every shard has the same
+    row count — a partial last shard must pass its true offset or its ids
+    collide with the previous shard's range.
+    """
     rng = np.random.default_rng((seed, shard))
+    if id_base is None:
+        id_base = shard * n_rows
     ids: list[str] = []
     blobs: list[bytes] = []
     ws: list[int] = []
@@ -154,7 +164,7 @@ def make_shard(shard: int, n_rows: int = ROWS_PER_SHARD, seed: int = 42) -> pa.T
     base_pool: list[tuple[np.ndarray, int]] = []  # (pixels, phash) for dup/near-dup
 
     for i in range(n_rows):
-        gid = shard * n_rows + i
+        gid = id_base + i
         image_id = f"img-{gid:09d}"
         u = rng.random()
         ctype = next(name for name, thr in _TYPES if u < thr)
@@ -228,7 +238,7 @@ def generate_parquet(
     """
     n_shards = max(1, (n_rows + rows_per_shard - 1) // rows_per_shard)
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    tag = f"{n_rows}:{seed}:{rows_per_shard}:v2"
+    tag = f"{n_rows}:{seed}:{rows_per_shard}:v3"  # v3: unique ids on partial last shard
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == tag:
@@ -245,7 +255,7 @@ def generate_parquet(
 
     def write_one(s: int) -> None:
         rows = last_rows if s == n_shards - 1 else rows_per_shard
-        tbl = make_shard(s, rows, seed)
+        tbl = make_shard(s, rows, seed, id_base=s * rows_per_shard)
         pq.write_table(tbl, os.path.join(out_dir, f"shard-{s:05d}.parquet"))
 
     if use_ray:
