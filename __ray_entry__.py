@@ -191,6 +191,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return textdedup.embedding_cosine_pairs(emb, threshold=0.42)
 
+    def dedup_embedding_lsh(sf):
+        # approximate sign-LSH scale path (no SQL oracle: recall < 1 by
+        # design). 16 narrow bands + no hamming prefilter because 0.42 is a
+        # low threshold (expected ~23/64 differing sign bits); candidates
+        # are exact-cosine verified so precision is 1.0.
+        (emb,) = _tables(sf, "embeddings")
+        return textdedup.embedding_lsh_pairs(emb, threshold=0.42, n_bands=16, max_hamming=63)
+
+    def fk_discovery(sf):
+        import pandas as pd
+
+        from rayquality.engine import discover_relations
+
+        rels = discover_relations(sf)
+        rows = [
+            (child, fk, parent, pk)
+            for child, lst in sorted(rels.items())
+            for fk, parent, pk in lst
+        ]
+        return pd.DataFrame(rows, columns=["child", "fk_column", "parent", "parent_column"])
+
     def ann_cosine_topk(sf):
         (emb,) = _tables(sf, "embeddings")
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
@@ -268,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_documents": dedup_simhash_documents,
         "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
         "dedup_embedding_documents": dedup_embedding_documents,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "fk_discovery": fk_discovery,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "user_sessions": user_sessions,

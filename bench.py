@@ -14,6 +14,7 @@ throughputs plus scaling efficiency = (t8/t32)/(32/8).
 
 from __future__ import annotations
 
+import glob as glob_mod
 import json
 import os
 import shutil
@@ -117,8 +118,60 @@ def run_bench() -> dict:
         "kept": summary["kept"],
         "images_per_sec": round(summary["total"] / headline, 1),
     }
+    if not skip_queries:
+        result["ann"] = _ann_bench(sf)
     ray.shutdown()
     return result
+
+
+def _ann_bench(sf: float) -> dict:
+    """Brute-force vs IVF top-k wall time on a clustered synthetic vector
+    corpus large enough that matmul compute (not fixed Ray overhead)
+    dominates — the evidence that IVF's per-cell pruning actually pays."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayquality.ops import ann
+
+    n, dim, n_cells = max(50_000, int(500_000 * sf)), 64, 64
+    path = f"/tmp/rayquality_annbench/n{n}"
+    marker = os.path.join(path, "_OK")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rng = np.random.default_rng(17)
+        centers = rng.standard_normal((n_cells, dim))
+        assign = np.arange(n) % n_cells
+        vecs = (centers[assign] + 0.35 * rng.standard_normal((n, dim))).astype(np.float32)
+        for s in range(0, n, 50_000):
+            chunk = vecs[s : s + 50_000]
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(np.arange(s, s + len(chunk)), pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(chunk.reshape(-1)), dim
+                    ),
+                }
+            )
+            pq.write_table(tbl, os.path.join(path, f"part-{s:08d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = rd.read_parquet(sorted(glob_mod.glob(os.path.join(path, "*.parquet"))))
+    qids = list(range(0, n, max(1, n // 4000)))[:4000]
+    t0 = time.time()
+    ann.cosine_topk(ds, qids, k=10)
+    brute = time.time() - t0
+    t0 = time.time()
+    ann.ivf_topk(ds, qids, k=10, n_cells=n_cells, n_probe=8)
+    ivf = time.time() - t0
+    return {
+        "n_vectors": n,
+        "n_queries": len(qids),
+        "brute_sec": round(brute, 3),
+        "ivf_sec": round(ivf, 3),
+        "speedup": round(brute / ivf, 2),
+    }
 
 
 def run_scaling() -> dict:

@@ -89,7 +89,7 @@ def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
-def _kmeans(vectors: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+def _kmeans(vectors: np.ndarray, n_cells: int, seed: int, iters: int = 6) -> np.ndarray:
     """Small seeded k-means on unit vectors (IVF coarse quantizer)."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(vectors), size=min(n_cells, len(vectors)), replace=False)
