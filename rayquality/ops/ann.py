@@ -53,7 +53,7 @@ def cosine_topk(
 
     parts = (
         ds.select_columns([id_col, vec_col])
-        .map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=2048)
         .to_pandas()
     )
     return _merge_topk(parts, k)
@@ -73,6 +73,31 @@ def _emit_topk(qids: np.ndarray, nids: np.ndarray, sims: np.ndarray, k: int) -> 
             "query_id": pa.array(np.repeat(qids, kk)),
             "neighbor_id": pa.array(nids[idx.ravel()]),
             "sim": pa.array(vals.ravel(), pa.float64()),
+        }
+    )
+
+
+def _batch_topk(tbl: pa.Table, k: int) -> pa.Table:
+    """Keep the top-k rows per query_id of a partials table — pure numpy
+    (lexsort + group-rank), no pandas groupby in the hot path."""
+    q = tbl["query_id"].to_numpy(zero_copy_only=False)
+    n = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    s = tbl["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((n, -s, q))
+    qs = q[order]
+    new_grp = np.empty(len(qs), dtype=bool)
+    if len(qs):
+        new_grp[0] = True
+        new_grp[1:] = qs[1:] != qs[:-1]
+    # rank within group = position - position of group start
+    starts = np.maximum.accumulate(np.where(new_grp, np.arange(len(qs)), 0))
+    keep = (np.arange(len(qs)) - starts) < k
+    sel = order[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(q[sel]),
+            "neighbor_id": pa.array(n[sel]),
+            "sim": pa.array(s[sel], pa.float64()),
         }
     )
 
@@ -162,26 +187,33 @@ def ivf_topk(
     q_ids = qdf[id_col].to_numpy()
     q_mat = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    # invert: which query rows probe each cell
+    # invert ONCE on the driver: per-cell (query ids, contiguous query
+    # matrix) — per-batch fancy indexing into the full Q matrix was the
+    # 32-way bottleneck (a copy per cell per batch)
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
-    cell_to_q = [np.nonzero((q_cells == c).any(axis=1))[0] for c in range(len(centroids))]
-    state = ray.put((q_ids, q_mat, centroids, cell_to_q))
+    per_cell = []
+    for c in range(len(centroids)):
+        qrows = np.nonzero((q_cells == c).any(axis=1))[0]
+        per_cell.append((q_ids[qrows], np.ascontiguousarray(q_mat[qrows])))
+    state = ray.put((centroids, per_cell))
 
     def local_topk(t: pa.Table) -> pa.Table:
-        qi, qm, cent, c2q = ray.get(state)
+        cent, cellq = ray.get(state)
         nids = t[id_col].to_numpy(zero_copy_only=False)
         nmat = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
         nmat /= np.maximum(np.linalg.norm(nmat, axis=1, keepdims=True), 1e-12)
         cells = np.argmax(nmat @ cent.T, axis=1)
+        order = np.argsort(cells, kind="stable")
+        bounds = np.nonzero(np.diff(cells[order]))[0] + 1
         outs = []
-        for c in np.unique(cells):
-            qrows = c2q[c]
-            if not len(qrows):
+        for grp in np.split(order, bounds):
+            c = cells[grp[0]]
+            qi_c, qm_c = cellq[c]
+            if not len(qi_c):
                 continue
-            rows = np.nonzero(cells == c)[0]
-            sims = qm[qrows] @ nmat[rows].T  # pruned: only probing queries
-            sims[qi[qrows][:, None] == nids[rows][None, :]] = -np.inf
-            outs.append(_emit_topk(qi[qrows], nids[rows], sims, k))
+            sims = qm_c @ nmat[grp].T  # pruned: only the queries probing c
+            sims[qi_c[:, None] == nids[grp][None, :]] = -np.inf
+            outs.append(_emit_topk(qi_c, nids[grp], sims, k))
         if not outs:
             return pa.table(
                 {
@@ -190,7 +222,13 @@ def ivf_topk(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        return pa.concat_tables(outs)
+        # within-batch merge across cells: a query probing p cells would
+        # otherwise emit p*k rows per batch and swamp the driver merge
+        return _batch_topk(pa.concat_tables(outs), k)
 
-    parts = ds.select_columns([id_col, vec_col]).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
     return _merge_topk(parts, k)
