@@ -67,9 +67,13 @@ def banded_hamming_pairs(
     Exact for hamming <= n_bands - 1 (pigeonhole); approximate above.
     ``max_hamming=0, n_bands=1`` degenerates to exact-signature pairing.
     """
+    # materialize: the banded table is consumed twice (count prefilter +
+    # pair pass); without it the upstream signature computation re-executes.
+    # The table is skinny (16 bytes x n_bands per row) so the object store
+    # holds (or spills) it cheaply at any scale.
     banded = sig_ds.map_batches(
         _explode_bands_generic(id_col, sig_col, n_bands), batch_format="pyarrow"
-    )
+    ).materialize()
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("bkey").aggregate([("bkey", "count")])
@@ -132,7 +136,12 @@ def equal_key_pair_ds(
     ``groupby(id_a, id_b).count()`` yields intersection sizes (the
     inverted-index join used for exact Jaccard). Count prefilter -> hash
     partition -> vectorized within-group sweep; ``group_cap`` skips
-    degenerate keys larger than the cap (quadratic cost, no signal)."""
+    degenerate keys larger than the cap (quadratic cost, no signal).
+
+    The keyed table is materialized (consumed by the count prefilter AND
+    the pair pass — recomputing the upstream explode twice costs more than
+    object-store residency, which spills if needed)."""
+    keyed_ds = keyed_ds.materialize()
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([(key_col, "count")])

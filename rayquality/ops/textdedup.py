@@ -193,22 +193,28 @@ def _verify_jaccard_distributed(
     jaccard from per-doc set sizes. Shared by minhash verification and
     :func:`ngram_jaccard_pairs`."""
 
-    def with_sizes(t: pa.Table) -> pa.Table:
+    def explode_shingles(t: pa.Table) -> pa.Table:
         tbl, _sizes = _shingle_table(t, id_col, text_col, k)
         return tbl
 
-    def sizes_batch(t: pa.Table) -> pa.Table:
-        _tbl, sizes = _shingle_table(t, id_col, text_col, k)
-        return pa.table(
-            {
-                id_col: pa.array(list(sizes.keys())),
-                "n_shingles": pa.array(list(sizes.values()), pa.int64()),
-            }
-        )
+    # materialize: consumed three times (sizes, count prefilter inside the
+    # pair kernel, pair pass) — shingling (blake2b per shingle) is the
+    # expensive step and must run once
+    shingles = docs.map_batches(explode_shingles, batch_format="pyarrow").materialize()
 
-    sizes_df = docs.map_batches(sizes_batch, batch_format="pyarrow").to_pandas()
+    # per-doc set sizes FROM the shingle table (rows per doc = |set|; a doc
+    # may be re-batched across partials, so sum the partial counts)
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(id_col).aggregate([(id_col, "count")])
+        return g.rename_columns([id_col, "n_shingles"])
+
+    sizes_df = (
+        shingles.map_batches(size_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(id_col, as_index=False)["n_shingles"]
+        .sum()
+    )
     size_map = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
-    shingles = docs.map_batches(with_sizes, batch_format="pyarrow")
     inter = (
         _pairs.equal_key_pair_ds(shingles, id_col, "shingle", group_cap=group_cap)
         .groupby(["id_a", "id_b"])
