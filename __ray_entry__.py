@@ -226,6 +226,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (ev,) = _tables(sf, "events")
         return windows.sessionize(ev, gap_minutes=30)
 
+    def sliding_window_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        return windows.sliding_window_counts(ev, window_minutes=60, slide_minutes=15)
+
+    def asof_last_order(sf):
+        from rayquality.ops import asof
+
+        ev, orders = _tables(sf, "events", "orders")
+        out = asof.asof_join(
+            ev,
+            orders,
+            key_left="user_id",
+            key_right="o_custkey",
+            ts_left="ts",
+            ts_right="o_orderdate",
+            left_cols=["event_id", "user_id", "ts"],
+            right_cols=["o_orderkey", "o_orderdate"],
+            tiebreak="o_orderkey",
+        )
+        return out.sort_values("event_id").reset_index(drop=True)
+
     def sample_orders_mod(sf):
         from rayquality.ops import windows
 
@@ -294,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "user_sessions": user_sessions,
+        "sliding_window_events": sliding_window_events,
+        "asof_last_order": asof_last_order,
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
         "approx_distinct_orders": approx_distinct_orders,
@@ -446,6 +471,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, CAST(1 + SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events "
             "FROM d GROUP BY user_id ORDER BY user_id"
+        ),
+        "sliding_window_events": (
+            # each event belongs to the 4 sliding 60-min windows that start
+            # every 15 min at or before it
+            "SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) - "
+            "  k * INTERVAL '15 minutes' AS w_start, COUNT(*) AS n_events "
+            "FROM events, UNNEST([0, 1, 2, 3]) AS t(k) "
+            "GROUP BY user_id, w_start ORDER BY user_id, w_start"
+        ),
+        "asof_last_order": (
+            # deterministic as-of: greatest o_orderdate <= ts, ties broken by
+            # the largest o_orderkey (DuckDB's native ASOF leaves ties
+            # unspecified, so the oracle spells the window out)
+            "SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM ("
+            "  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, "
+            "         ROW_NUMBER() OVER (PARTITION BY e.event_id "
+            "           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "  FROM events e JOIN orders o "
+            "    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+            "WHERE rn = 1 ORDER BY event_id"
         ),
         "sample_orders_mod": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 0 "

@@ -1,0 +1,119 @@
+"""Distributed as-of (temporal) join — a custom operator Ray Data lacks.
+
+Semantics: for every left row, attach the single right row with the same
+key and the greatest right-timestamp <= left-timestamp (ties broken by the
+largest tiebreak column value — deterministic under any partitioning).
+
+Execution (Ray-Data-first): both sides reduce to skinny columns, get a
+``part = key % n_parts`` column and a side tag, and are UNIONed into one
+dataset; a single ``groupby(part).map_groups`` then runs a vectorized
+``pandas.merge_asof`` per partition. Partitioning assumption: all rows of
+one join key land in one partition (guaranteed by the key hash); a single
+key's history must fit one worker — the standard as-of contract.
+
+No SQL engine is consulted; the DuckDB oracle for the driver gate is an
+explicit ROW_NUMBER window (see __ray_entry__.oracle_sql) because DuckDB's
+native ASOF JOIN leaves timestamp ties unspecified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    tiebreak: str,
+    n_parts: int = 32,
+) -> pd.DataFrame:
+    """Inner as-of join -> pandas frame with ``left_cols + right_cols``.
+
+    ``left_cols``/``right_cols`` are the payload columns to carry through
+    (must include the key/ts columns you want in the output). ``tiebreak``
+    is a right-side column; among right rows sharing the match timestamp
+    the one with the LARGEST tiebreak value wins.
+    """
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def pack(side: int, key_col: str, ts_col: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out: dict[str, pa.Array | pa.ChunkedArray] = {
+                "part": pa.array((key % n_parts).astype(np.int64)),
+                "side": pa.array(np.full(len(key), side, dtype=np.int8)),
+                "__key": pa.array(key),
+                "__ts": t[ts_col].combine_chunks().cast(pa.timestamp("us")),
+            }
+            for c in all_cols:
+                out[c] = (
+                    t[c].combine_chunks()
+                    if c in cols
+                    else pa.nulls(len(key), _ARROW_TYPES[c])
+                )
+            return pa.table(out)
+
+        return fn
+
+    # union needs one schema: probe both sides' column types once
+    def _types_of(ds: rd.Dataset) -> dict[str, pa.DataType]:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        # pandas-block datasets expose numpy dtypes instead of a pa.Schema
+        return {
+            n: pa.from_numpy_dtype(t) for n, t in zip(base.names, base.types)
+        }
+
+    _ARROW_TYPES = {**_types_of(right), **_types_of(left)}
+    _ARROW_TYPES = {c: _ARROW_TYPES[c] for c in all_cols}
+
+    packed_l = left.select_columns(
+        list(dict.fromkeys([key_left, ts_left] + left_cols))
+    ).map_batches(pack(0, key_left, ts_left, left_cols), batch_format="pyarrow")
+    packed_r = right.select_columns(
+        list(dict.fromkeys([key_right, ts_right] + right_cols))
+    ).map_batches(pack(1, key_right, ts_right, right_cols), batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g["side"] == 0]
+        R = g[g["side"] == 1]
+        if not len(L) or not len(R):
+            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in all_cols})
+        L = L.sort_values("__ts", kind="stable")
+        # ties: merge_asof keeps the LAST equal-ts right row in frame order,
+        # so sorting by (ts, tiebreak) makes the largest tiebreak win
+        R = R.sort_values(["__ts", tiebreak], kind="stable")
+        merged = pd.merge_asof(
+            L[["__key", "__ts"] + left_cols],
+            R[["__key", "__ts"] + right_cols],
+            on="__ts",
+            by="__key",
+            direction="backward",
+        )
+        return merged.dropna(subset=[tiebreak])[all_cols]  # inner semantics
+
+    out = (
+        packed_l.union(packed_r)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    # the union carries nulls on the off-side columns, so pandas upcasts
+    # ints to float64 end-to-end; restore every column's source dtype
+    for c in all_cols:
+        t = _ARROW_TYPES[c]
+        if pa.types.is_timestamp(t):
+            out[c] = out[c].astype(f"datetime64[{t.unit}]")
+        else:
+            out[c] = out[c].astype(t.to_pandas_dtype())
+    return out

@@ -66,6 +66,64 @@ def sessionize(
     ]
 
 
+def sliding_window_counts(
+    events: rd.Dataset, window_minutes: int = 60, slide_minutes: int = 15
+) -> pd.DataFrame:
+    """Sliding-window event counts per user: windows of ``window_minutes``
+    starting every ``slide_minutes`` (an event lands in window/slide
+    consecutive windows).
+
+    Streaming recast: each batch EXPLODES its events into their member
+    windows (flat map, window/slide rows per event) and pre-aggregates
+    (combiner), then one skinny global groupby sums the partials — the
+    shuffle moves (user, window, count) triples, never events.
+
+    -> (user_id, w_start, n_events), sorted.
+    """
+    if window_minutes % slide_minutes:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    k = window_minutes // slide_minutes
+    offsets = (np.arange(k) * np.timedelta64(slide_minutes * 60, "s")).astype(
+        "timedelta64[us]"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        base = pc.floor_temporal(
+            t["ts"].combine_chunks().cast(pa.timestamp("us")),
+            multiple=slide_minutes,
+            unit="minute",
+        ).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        w_start = (base[None, :] - offsets[:, None]).reshape(-1)
+        g = (
+            pa.table(
+                {
+                    "user_id": pa.array(np.tile(uid, k)),
+                    "w_start": pa.array(w_start),
+                }
+            )
+            .group_by(["user_id", "w_start"])
+            .aggregate([("w_start", "count")])
+        )
+        return g.rename_columns(["user_id", "w_start", "n_events"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "w_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["w_start"] = out["w_start"].astype("datetime64[us]")
+    return out.sort_values(["user_id", "w_start"]).reset_index(drop=True)[
+        ["user_id", "w_start", "n_events"]
+    ]
+
+
 def systematic_sample(ds: rd.Dataset, key: str, modulus: int, remainder: int = 0) -> rd.Dataset:
     """Deterministic systematic sample: rows where key % modulus == remainder.
 

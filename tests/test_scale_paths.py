@@ -204,3 +204,63 @@ def test_cli_analyze_subset_and_describe_nullability(tmp_path):
     )
     assert out.returncode == 0
     assert "NULL" in out.stdout and "default=-" in out.stdout
+
+
+def test_asof_join_naive_parity(rd):
+    """Distributed as-of join == naive per-row scan, incl. tie-breaking."""
+    from rayquality.ops.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 8, 9, 7],
+            "ts": pd.to_datetime(
+                ["2024-01-02", "2024-01-05", "2024-01-03", "2024-01-01", "2023-12-31"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "o_custkey": [7, 7, 7, 8, 8],
+            "o_orderkey": [10, 11, 12, 20, 21],
+            # orderkeys 11 and 12 tie on the date: largest orderkey must win
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-04", "2024-01-04", "2024-01-03", "2024-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    got = asof_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2),
+        key_left="user_id",
+        key_right="o_custkey",
+        ts_left="ts",
+        ts_right="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    ).sort_values("event_id").reset_index(drop=True)
+    # event 1: user 7 at 01-02 -> order 10; event 2: 01-05 -> tie date 01-04,
+    # orderkey 12 wins; event 3: user 8 at 01-03 -> order 20 (same-day match);
+    # event 4: user 9 -> no orders (dropped); event 5: before any order.
+    assert got["event_id"].tolist() == [1, 2, 3]
+    assert got["o_orderkey"].tolist() == [10, 12, 20]
+    assert str(got["o_orderkey"].dtype) == "int64"
+
+
+def test_sliding_window_counts_naive(rd):
+    from rayquality.ops.windows import sliding_window_counts
+
+    ts = pd.to_datetime(["2024-01-01 00:07", "2024-01-01 00:20", "2024-01-01 02:00"])
+    ev = pd.DataFrame({"user_id": [1, 1, 1], "ts": ts.astype("datetime64[us]")})
+    got = sliding_window_counts(rd.from_pandas(ev), window_minutes=60, slide_minutes=15)
+    # naive: every (user, w_start) with w_start multiple of 15min and
+    # w_start <= ts < w_start + 60min
+    want = {}
+    for t in ts:
+        base = t.floor("15min")
+        for k in range(4):
+            w = base - pd.Timedelta(minutes=15 * k)
+            want[(1, w)] = want.get((1, w), 0) + 1
+    got_map = {(u, w): n for u, w, n in zip(got["user_id"], got["w_start"], got["n_events"])}
+    assert got_map == want
