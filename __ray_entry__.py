@@ -265,6 +265,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders, customer = _tables(sf, "orders", "customer")
         return relational.revenue_by_segment(orders, customer)
 
+    def quantiles_lineitem_qty(sf):
+        from rayquality.ops.sketch import exact_quantiles
+
+        (li,) = _tables(sf, "lineitem")
+        return exact_quantiles(li, "l_quantity", [0.25, 0.5, 0.75, 0.9, 0.99])
+
     def approx_distinct_orders(sf):
         from rayquality.ops.sketch import approx_distinct
 
@@ -321,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": asof_last_order,
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
+        "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
         "quality_filter_images": _q_quality_filter,
@@ -502,6 +509,12 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "quantiles_lineitem_qty": (
+            "WITH a AS (SELECT quantile_disc(l_quantity, "
+            "[0.25, 0.5, 0.75, 0.9, 0.99]) AS vs FROM lineitem) "
+            "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+            "unnest(vs) AS value FROM a"
         ),
         "ann_cosine_topk": (
             "SELECT query_id, neighbor_id, rank FROM ("

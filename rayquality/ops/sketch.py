@@ -119,3 +119,53 @@ def approx_distinct(ds: rd.Dataset, column: str, precision: int = 12) -> dict:
         "precision": precision,
         "exact": False,
     }
+
+
+def exact_quantiles(
+    ds: rd.Dataset, column: str, qs: list[float]
+) -> pd.DataFrame:
+    """EXACT discrete quantiles via distributed value counts.
+
+    Each batch pre-aggregates ``value_counts`` (combiner), one skinny
+    ``groupby(value)`` sums the partials, and the driver walks the sorted
+    cumulative counts. Matches DuckDB ``quantile_disc``:
+    ``idx = max(0, ceil(q*n) - 1)`` into the sorted multiset.
+
+    Scale contract: the shuffled/collected table is one row per DISTINCT
+    value — exact quantiles this way need bounded cardinality (measure-like
+    columns: quantities, ratings, bucketed sizes). For unbounded columns
+    use a mergeable sketch (KLL/t-digest) instead; this op is the exact
+    counterpart the oracle can verify.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(t[column].combine_chunks()))
+        return pa.table(
+            {
+                "value": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    cum = counts["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        out_q.append(q)
+        out_v.append(counts["value"].iloc[min(pos, len(counts) - 1)])
+    return pd.DataFrame({"q": np.asarray(out_q, np.float64), "value": out_v})

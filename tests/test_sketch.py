@@ -43,3 +43,23 @@ def test_approx_distinct_dataset(ray_session):
     out = approx_distinct(ds, "o_custkey")
     assert out["exact"] is False
     assert abs(out["estimate"] - exact) / exact < 0.05, out
+
+
+def test_exact_quantiles_matches_duckdb_rule(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rayquality.ops.sketch import exact_quantiles
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(1, 40, size=5000).astype(np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(4)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_quantiles(ds, "x", qs)
+    srt = np.sort(vals)
+    import math
+
+    for q, v in zip(got["q"], got["value"]):
+        idx = max(0, math.ceil(q * len(srt)) - 1)
+        assert v == srt[idx], (q, v, srt[idx])
