@@ -519,8 +519,11 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
             idx = t.schema.get_field_index("caption")
             return t.set_column(idx, "caption", t["caption_scrubbed"])
 
+        # large batches here: each batch spills one final/ parquet file, so
+        # batch size = final file size (512-row batches would mean 1000+
+        # tiny files and dominate the pass with per-file overhead)
         rd.read_parquet(verdict_files).map_batches(
-            finalize_both, batch_format="pyarrow", batch_size=run_cfg.batch_size
+            finalize_both, batch_format="pyarrow", batch_size=max(run_cfg.batch_size, 16_384)
         ).write_parquet(kept_dir, min_rows_per_file=20_000)
         phases["final_write"] = phases["kept_write"] = round(
             (_time.time() - t0) / 2, 2
