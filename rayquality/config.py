@@ -51,10 +51,12 @@ class QualityConfig:
     near_dup: bool = True
     # recall guarantee requires bands > max_hamming (pigeonhole: d differing
     # bits can break at most d bands); bands <= max_hamming silently misses
-    # worst-case pairs, so the default keeps bands = max_hamming + 1.
-    # Configs violating the relationship are allowed but approximate.
-    near_dup_max_hamming: int = 4
-    near_dup_bands: int = 5
+    # worst-case pairs. Default = (3, 4): guaranteed recall AND 16-bit
+    # bands — 5 narrower bands (13-bit) would inflate candidate groups ~10x
+    # at 10^6+ winners (measured: near-dedup 30 s vs 3 s at 1.46M winners).
+    # Configs violating bands > max_hamming are allowed but approximate.
+    near_dup_max_hamming: int = 3
+    near_dup_bands: int = 4
     dedup_salt: int = 16  # salt buckets for skewed phash keys
     # scrub
     scrub: bool = True
