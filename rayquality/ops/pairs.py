@@ -130,6 +130,7 @@ def equal_key_pair_ds(
     key_col: str,
     n_parts: int = DEFAULT_N_PARTS,
     group_cap: int = dedup.GROUP_CAP,
+    with_counts: bool = False,
 ) -> rd.Dataset:
     """Dataset of (id_a, id_b), id_a < id_b, one row per (shared key, pair)
     — a pair sharing M keys appears M times, so a downstream
@@ -137,6 +138,12 @@ def equal_key_pair_ds(
     inverted-index join used for exact Jaccard). Count prefilter -> hash
     partition -> vectorized within-group sweep; ``group_cap`` skips
     degenerate keys larger than the cap (quadratic cost, no signal).
+
+    ``with_counts=True`` COMBINES pair multiplicities inside each partition
+    first and emits (id_a, id_b, cnt) partials — every key lives wholly in
+    one partition, so summing partials downstream gives exact intersection
+    sizes while the shuffled row count drops from (pair, key) occurrences
+    to distinct pairs per partition (the map-side-combiner rule).
 
     The keyed table is materialized (consumed by the count prefilter AND
     the pair pass — recomputing the upstream explode twice costs more than
@@ -160,9 +167,10 @@ def equal_key_pair_ds(
     ).to_pandas()
     if not len(hot_keys):
         id_type = keyed_ds.schema().base_schema.field(id_col).type
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
-        )
+        cols = {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+        if with_counts:
+            cols["cnt"] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
     hot_ref = ray.put(hot_keys[key_col].to_numpy(np.int64))
 
     def only_hot_with_part(t: pa.Table) -> pa.Table:
@@ -180,7 +188,21 @@ def equal_key_pair_ds(
         a, b = ids[ii], ids[jj]
         swap = a > b
         a[swap], b[swap] = b[swap], a[swap]
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        if not with_counts:
+            return pd.DataFrame({"id_a": a, "id_b": b})
+        if not len(a):
+            return pd.DataFrame(
+                {"id_a": a, "id_b": b, "cnt": np.empty(0, np.int64)}
+            )
+        # partition-local combine: run-length count of sorted pairs
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.concatenate((starts, [len(a)])))
+        return pd.DataFrame({"id_a": a[first], "id_b": b[first], "cnt": cnt.astype(np.int64)})
 
     return (
         keyed_ds.map_batches(only_hot_with_part, batch_format="pyarrow")

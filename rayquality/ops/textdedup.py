@@ -23,39 +23,84 @@ from . import pairs as _pairs
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_POLY = np.uint64(1099511628211)  # FNV-64 prime
+
+
+def _shingle_arrays(texts: list[str | None], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch shingling -> (doc_index, shingle uint64), distinct
+    per doc, sorted by doc index.
+
+    Each UNIQUE word is blake2b-hashed once; a k-word shingle hash is the
+    polynomial fold of its word hashes (uint64 wraparound) — one vectorized
+    sliding-window pass per batch instead of one blake2b per shingle.
+    Documents shorter than k words contribute a single whole-document
+    shingle (fold of all their words), matching the original semantics.
+    """
+    docs = [(t or "").lower().split() for t in texts]
+    vocab: dict[str, int] = {}
+    for ws in docs:
+        for w in ws:
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint64))
+    if not vocab:
+        return empty
+    hv = np.empty(len(vocab), np.uint64)
+    for w, i in vocab.items():
+        hv[i] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+    lens = np.array([len(ws) for ws in docs], np.int64)
+    total = int(lens.sum())
+    flat = np.fromiter((vocab[w] for ws in docs for w in ws), np.int64, total)
+    hw = hv[flat]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    doc_of = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+    out_doc, out_sh = [], []
+    with np.errstate(over="ignore"):
+        if total >= k:
+            n_win = total - k + 1
+            s = hw[:n_win].copy()
+            for j in range(1, k):
+                s = s * _POLY + hw[j : n_win + j]
+            valid = doc_of[:n_win] == doc_of[k - 1 :]
+            out_doc.append(doc_of[:n_win][valid])
+            out_sh.append(s[valid])
+        for d in np.nonzero((lens > 0) & (lens < k))[0].tolist():
+            seg = hw[starts[d] : starts[d] + lens[d]]
+            v = seg[0]
+            for x in seg[1:]:
+                v = v * _POLY + x
+            out_doc.append(np.array([d], np.int64))
+            out_sh.append(np.array([v], np.uint64))
+    if not out_doc:
+        return empty
+    dd = np.concatenate(out_doc)
+    ss = np.concatenate(out_sh)
+    order = np.lexsort((ss, dd))
+    dd, ss = dd[order], ss[order]
+    first = np.empty(len(dd), dtype=bool)
+    first[0] = True
+    first[1:] = (dd[1:] != dd[:-1]) | (ss[1:] != ss[:-1])
+    return dd[first], ss[first]
+
+
 def _word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct k-word shingle hashes (uint64) of a document."""
-    words = text.lower().split()
-    if len(words) < k:
-        return np.array(
-            [int.from_bytes(hashlib.blake2b(" ".join(words).encode(), digest_size=8).digest(), "big")],
-            dtype=np.uint64,
-        ) if words else np.empty(0, dtype=np.uint64)
-    hs = {
-        int.from_bytes(
-            hashlib.blake2b(" ".join(words[i : i + k]).encode(), digest_size=8).digest(), "big"
-        )
-        for i in range(len(words) - k + 1)
-    }
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    """Distinct k-word shingle hashes (uint64) of ONE document (the naive
+    single-doc view of :func:`_shingle_arrays`, used by tests/oracles)."""
+    _dd, ss = _shingle_arrays([text], k)
+    return ss
 
 
 def _shingle_table(t: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
     """Explode a batch to (doc_id, shingle) rows + per-doc set sizes."""
-    ids, shingles, sizes_id, sizes = [], [], [], []
-    for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-        sh = _word_shingle_hashes(txt or "", k)
-        ids.extend([did] * len(sh))
-        shingles.append(sh)
-        sizes_id.append(did)
-        sizes.append(len(sh))
-    flat = np.concatenate(shingles) if shingles else np.empty(0, dtype=np.uint64)
+    ids_arr = t[id_col].to_numpy(zero_copy_only=False)
+    dd, ss = _shingle_arrays(t[text_col].to_pylist(), k)
+    counts = np.bincount(dd, minlength=len(ids_arr)) if len(dd) else np.zeros(len(ids_arr), np.int64)
     return pa.table(
         {
-            id_col: pa.array(ids),
-            "shingle": pa.array(flat.view(np.int64)),
+            id_col: pa.array(ids_arr[dd]),
+            "shingle": pa.array(ss.view(np.int64)),
         }
-    ), dict(zip(sizes_id, sizes))
+    ), dict(zip(ids_arr.tolist(), counts.tolist()))
 
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
@@ -91,16 +136,19 @@ def minhash_signatures(
     b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
 
     def per_batch(t: pa.Table) -> pa.Table:
-        sigs = []
-        for txt in t[text_col].to_pylist():
-            sh = _word_shingle_hashes(txt or "", k)
-            if len(sh) == 0:
-                sigs.append(np.zeros(num_perm, dtype=np.int64))
-                continue
-            # universal hashing mod Mersenne prime, vectorized (P x S)
-            vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-            sigs.append(vals.min(axis=1).astype(np.int64))
-        mat = np.stack(sigs) if sigs else np.empty((0, num_perm), dtype=np.int64)
+        n_docs = t.num_rows
+        dd, ss = _shingle_arrays(t[text_col].to_pylist(), k)
+        mat = np.zeros((n_docs, num_perm), dtype=np.int64)
+        if len(ss):
+            # universal hashing mod Mersenne prime over the whole batch's
+            # shingles at once (P x S), then a segment-min per doc
+            # (np.minimum.reduceat over the doc-sorted columns)
+            vals = (a[:, None] * (ss[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            seg_starts = np.nonzero(
+                np.concatenate(([True], dd[1:] != dd[:-1]))
+            )[0]
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)  # (P, n_segs)
+            mat[dd[seg_starts]] = mins.T.astype(np.int64)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -215,10 +263,29 @@ def _verify_jaccard_distributed(
         .sum()
     )
     size_map = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
+    pair_ds = _pairs.equal_key_pair_ds(
+        shingles, id_col, "shingle", group_cap=group_cap, with_counts=True
+    )
+    # final combine of the per-partition pair-count partials. Ray's
+    # multi-key sort aggregate is pathologically slow on many skinny blocks
+    # (measured 166 s for 1.3M rows), so combine via ONE int hash key:
+    # hash-partition on h(id_a, id_b), then a vectorized pandas groupby per
+    # partition — same result, seconds instead of minutes.
+    def add_pkey(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column("pkey", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def combine_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], as_index=False)["cnt"].sum()
+        return out.rename(columns={"cnt": "inter"})
+
     inter = (
-        _pairs.equal_key_pair_ds(shingles, id_col, "shingle", group_cap=group_cap)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="inter"))
+        pair_ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(combine_part, batch_format="pandas")
         .to_pandas()
     )
     if not len(inter):
