@@ -91,16 +91,15 @@ def events_hourly(events: rd.Dataset) -> pd.DataFrame:
         ).group_by(["user_id", "hour"]).aggregate([("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["user_id", "hour", "sum_value_cents", "n_events"])
 
-    out = (
-        events.select_columns(["user_id", "ts", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(
-            Sum("sum_value_cents", alias_name="sum_value_cents"),
-            Sum("n_events", alias_name="n_events"),
-        )
-        .to_pandas()
-    )
+    from .combine import combine_partials
+
+    out = combine_partials(
+        events.select_columns(["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["user_id", "hour"],
+        sums=["sum_value_cents", "n_events"],
+    ).to_pandas()
     # pin the timestamp unit: DuckDB date_trunc('hour') yields µs precision
     # while Arrow floor_temporal preserves the source unit — a dtype-sensitive
     # value hash (the driver's) treats [s] vs [us] as a mismatch

@@ -87,11 +87,12 @@ def multi_duplicates(
             )
         return pa.concat_tables(tbls)
 
-    counts = (
-        ds.select_columns(columns)
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["col", "val"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from .combine import combine_partials
+
+    counts = combine_partials(
+        ds.select_columns(columns).map_batches(explode, batch_format="pyarrow"),
+        keys=["col", "val"],
+        sums=["cnt"],
     )
 
     def reduce_counts(t: pa.Table) -> pa.Table:
@@ -152,9 +153,13 @@ def duplicate_values(ds: rd.Dataset, column: str, limit: int = 10) -> pa.Table:
 
 def composite_duplicates(ds: rd.Dataset, columns: list[str], max_duplicates: int = 0) -> pa.Table:
     """Composite-key duplicates (validators/duplicates.py:341-429):
-    total - distinct key combos, via multi-key skinny groupby."""
+    total - distinct key combos. Distinctness via per-batch dedup ->
+    key-hash partition -> per-partition dedup (ops.combine) — no
+    multi-column sort shuffle."""
+    from .combine import distinct_count
+
     total = ds.count()
-    distinct = ds.select_columns(columns).groupby(columns).count().count()
+    distinct = distinct_count(ds.select_columns(columns), columns)
     dup = total - distinct
     return pa.table(
         {

@@ -109,15 +109,13 @@ def sliding_window_counts(
         )
         return g.rename_columns(["user_id", "w_start", "n_events"])
 
-    from ray.data.aggregate import Sum
+    from .combine import combine_partials
 
-    out = (
-        events.select_columns(["user_id", "ts"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["user_id", "w_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"))
-        .to_pandas()
-    )
+    out = combine_partials(
+        events.select_columns(["user_id", "ts"]).map_batches(explode, batch_format="pyarrow"),
+        keys=["user_id", "w_start"],
+        sums=["n_events"],
+    ).to_pandas()
     out["w_start"] = out["w_start"].astype("datetime64[us]")
     return out.sort_values(["user_id", "w_start"]).reset_index(drop=True)[
         ["user_id", "w_start", "n_events"]
