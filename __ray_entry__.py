@@ -265,6 +265,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders, customer = _tables(sf, "orders", "customer")
         return relational.revenue_by_segment(orders, customer)
 
+    def top_customers_per_segment(sf):
+        orders, customer = _tables(sf, "orders", "customer")
+        return relational.top_customers_per_segment(orders, customer, k=3)
+
+    def heavy_hitters_orders(sf):
+        from rayquality.ops.sketch import heavy_hitters
+
+        (orders,) = _tables(sf, "orders")
+        # approximate (mergeable Misra-Gries) -> rows-only driver check
+        return heavy_hitters(orders, "o_custkey", k=64, top=10)
+
     def quantiles_lineitem_qty(sf):
         from rayquality.ops.sketch import exact_quantiles
 
@@ -327,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": asof_last_order,
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
+        "top_customers_per_segment": top_customers_per_segment,
+        "heavy_hitters_orders": heavy_hitters_orders,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
@@ -509,6 +522,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "top_customers_per_segment": (
+            "SELECT c_mktsegment, c_custkey, revenue_cents, rank FROM ("
+            "  SELECT c.c_mktsegment, c.c_custkey, "
+            "    CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "    CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment "
+            "      ORDER BY SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) DESC, c.c_custkey) AS BIGINT) AS rank "
+            "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "  GROUP BY c.c_mktsegment, c.c_custkey) "
+            "WHERE rank <= 3 ORDER BY c_mktsegment, rank"
         ),
         "quantiles_lineitem_qty": (
             "WITH a AS (SELECT quantile_disc(l_quantity, "

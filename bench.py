@@ -94,9 +94,12 @@ def run_bench() -> dict:
         "integrity_lineitem_orders",
         "dedup_exact_documents",
         "dedup_minhash_documents",
+        "dedup_ngram_jaccard_documents",
         "lang_ppl_documents",
         "ann_cosine_topk",
         "top_customers_by_revenue",
+        "sliding_window_events",
+        "asof_last_order",
     ):
         t = time.time()
         res = qs[name](sf_dir)

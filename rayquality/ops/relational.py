@@ -152,6 +152,63 @@ def top_customers_by_revenue(
     return agg[["c_custkey", "c_name", "revenue_cents", "n_orders"]]
 
 
+def top_customers_per_segment(
+    orders: rd.Dataset, customer: rd.Dataset, k: int = 3
+) -> pd.DataFrame:
+    """Grouped top-k: the k highest-revenue customers per market segment.
+
+    Broadcast custkey->segment lookup, per-batch partial revenue sums,
+    hash-partitioned combine (ops.combine), then block-local top-k per
+    segment before a tiny driver merge — no global sort. Deterministic
+    ordering (revenue desc, custkey asc).
+    """
+    seg = customer.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(seg["c_custkey"], seg["c_mktsegment"])))
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg_map = ray.get(seg_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = pd.Series(ck).map(seg_map).to_numpy(object)
+        g = pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "c_custkey": t["o_custkey"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        ).group_by(["c_mktsegment", "c_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["c_mktsegment", "c_custkey", "revenue_cents"])
+
+    from .combine import combine_partials
+
+    combined = combine_partials(
+        orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["c_mktsegment", "c_custkey"],
+        sums=["revenue_cents"],
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["c_mktsegment", "revenue_cents", "c_custkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("c_mktsegment", as_index=False).head(k)
+
+    out = (
+        combined.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(
+            ["c_mktsegment", "revenue_cents", "c_custkey"], ascending=[True, False, True]
+        )
+        .groupby("c_mktsegment", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = (out.groupby("c_mktsegment").cumcount() + 1).astype(np.int64)
+    return out[["c_mktsegment", "c_custkey", "revenue_cents", "rank"]]
+
+
 def revenue_by_segment(
     orders: rd.Dataset, customer: rd.Dataset, num_partitions: int = 8
 ) -> pd.DataFrame:

@@ -169,3 +169,56 @@ def exact_quantiles(
         out_q.append(q)
         out_v.append(counts["value"].iloc[min(pos, len(counts) - 1)])
     return pd.DataFrame({"q": np.asarray(out_q, np.float64), "value": out_v})
+
+
+def heavy_hitters(
+    ds: rd.Dataset, column: str, k: int = 32, top: int = 10
+) -> pd.DataFrame:
+    """Approximate heavy hitters (Misra-Gries summaries, mergeable).
+
+    Each batch compresses its exact value counts to k counters with the
+    canonical Misra-Gries reduction (subtract the (k+1)-th largest count,
+    drop non-positive); the driver merges by counter addition and a final
+    reduction. Summaries are O(k) per batch and NOTHING shuffles.
+    Guarantee (mergeable-summaries result): any value with true frequency
+    > 2n/k survives; reported counts underestimate true frequency.
+
+    Returns the ``top`` surviving (value, min_count) rows, count desc —
+    the scale-path analog of the exact
+    :func:`rayquality.ops.validators.duplicate_values`.
+    """
+
+    def _compress(vals: list, cnts: np.ndarray, kk: int):
+        if len(vals) <= kk:
+            return vals, cnts
+        order = np.argsort(-cnts, kind="stable")
+        cut = cnts[order[kk]]
+        keep = order[:kk]
+        newc = cnts[keep] - cut
+        pos = newc > 0
+        return [vals[i] for i in keep[pos]], newc[pos]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(pc.drop_null(t[column].combine_chunks()))
+        vals, cnts = _compress(
+            vc.field("values").to_pylist(),
+            np.asarray(vc.field("counts").to_pylist(), np.int64),
+            k,
+        )
+        return pa.table({"value": pa.array(vals), "cnt": pa.array(cnts, pa.int64())})
+
+    parts = ds.select_columns([column]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({column: [], "min_count": []})
+    merged = parts.groupby("value", as_index=False)["cnt"].sum()
+    vals, cnts = _compress(
+        merged["value"].tolist(), merged["cnt"].to_numpy(np.int64), k
+    )
+    out = pd.DataFrame({column: vals, "min_count": cnts.astype(np.int64)})
+    return (
+        out.sort_values(["min_count", column], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )

@@ -63,3 +63,24 @@ def test_exact_quantiles_matches_duckdb_rule(ray_session):
     for q, v in zip(got["q"], got["value"]):
         idx = max(0, math.ceil(q * len(srt)) - 1)
         assert v == srt[idx], (q, v, srt[idx])
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rayquality.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(4)
+    # background noise + two true heavy values
+    vals = rng.integers(0, 10_000, size=20_000).tolist() + [42] * 4000 + [7] * 2500
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    hh = heavy_hitters(ds, "x", k=64, top=5)
+    found = dict(zip(hh["x"], hh["min_count"]))
+    n = len(vals)
+    # guarantee: freq > 2n/k must survive; counts never overestimate
+    assert 42 in found and 7 in found
+    assert found[42] <= 4000 and found[7] <= 2500
+    assert found[42] > 4000 - 2 * n / 64 - 1
