@@ -264,3 +264,29 @@ def test_sliding_window_counts_naive(rd):
             want[(1, w)] = want.get((1, w), 0) + 1
     got_map = {(u, w): n for u, w, n in zip(got["user_id"], got["w_start"], got["n_events"])}
     assert got_map == want
+
+
+def test_combine_partials_null_groups_and_sums(rd):
+    from rayquality.ops.combine import combine_partials, distinct_count
+
+    df = pd.DataFrame(
+        {
+            "k1": ["a", "a", "b", None, None, "b"],
+            "k2": [1, 1, 2, 3, 3, 2],
+            "v": [10, 5, 1, 2, 4, 1],
+        }
+    )
+    out = (
+        combine_partials(rd.from_pandas(df).repartition(3), keys=["k1", "k2"], sums=["v"])
+        .to_pandas()
+        .sort_values(["k2"])
+        .reset_index(drop=True)
+    )
+    got = {(r["k1"], r["k2"]): r["v"] for _, r in out.iterrows()}
+    want = {("a", 1): 15, ("b", 2): 2, (None, 3): 6}
+    assert len(got) == 3
+    for (k1, k2), v in want.items():
+        match = [vv for (g1, g2), vv in got.items() if (g1 == k1 or (k1 is None and pd.isna(g1))) and g2 == k2]
+        assert match == [v], (k1, k2, match)
+
+    assert distinct_count(rd.from_pandas(df).repartition(3), ["k1", "k2"]) == 3
