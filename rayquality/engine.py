@@ -231,29 +231,36 @@ class PatternsValidator:
         self.custom_rules = custom_rules or {}
 
     def validate(self, ds: rd.Dataset, table_name: str) -> list[ValidationResult]:
-        out = []
+        from .rules.validity import VALIDATORS
+
+        # triage every string column first, then run ONE fused pass for all
+        # regex + checksum rules (previously one full read per column)
+        regex_specs: dict[str, str] = {}
+        checksum_specs: dict[str, Any] = {}
+        ptype_of: dict[str, str] = {}
         for col in _string_columns(ds):
-            regex = None
-            ptype = None
             if col in self.custom_rules:
-                ptype, regex = "regex", self.custom_rules[col]
-            else:
-                detected = detect_pattern_type(col)
-                if detected in ("email", "phone", "cep"):
-                    key = {"phone": "phone_br"}.get(detected, detected)
-                    ptype, regex = detected, BUILTIN_PATTERNS[key].strip("^$")
-                elif detected in ("cpf", "cnpj"):
-                    # checksum path: no single regex; use pandas kernel
-                    ptype = detected
-            if ptype is None:
+                ptype_of[col] = "regex"
+                regex_specs[col] = self.custom_rules[col]
                 continue
-            samples: list[str] = []
-            if regex is not None:
-                r = vops.pattern_validity(ds, col, regex, with_samples=True).to_pandas().iloc[0]
-                invalid, total = int(r["invalid_count"]), int(r["total_rows"])
-                samples = list(r["invalid_samples"])
-            else:
-                invalid, total = self._checksum_invalid(ds, col, ptype)
+            detected = detect_pattern_type(col)
+            if detected in ("email", "phone", "cep"):
+                key = {"phone": "phone_br"}.get(detected, detected)
+                ptype_of[col] = detected
+                regex_specs[col] = BUILTIN_PATTERNS[key].strip("^$")
+            elif detected in ("cpf", "cnpj"):
+                ptype_of[col] = detected
+                checksum_specs[col] = VALIDATORS[detected]
+        if not ptype_of:
+            return []
+        tbl = vops.multi_pattern_validity(
+            ds, regex_specs, checksum_specs, with_samples=True
+        ).to_pandas()
+        out = []
+        for _, r in tbl.iterrows():
+            col = r["column_name"]
+            ptype = ptype_of[col]
+            invalid = int(r["invalid_count"])
             out.append(
                 ValidationResult(
                     rule_name=f"pattern_{ptype}_{col}",
@@ -266,35 +273,14 @@ class PatternsValidator:
                     details={
                         "pattern_type": ptype,
                         "invalid_count": invalid,
-                        "invalid_samples": samples,
+                        "invalid_samples": list(r["invalid_samples"]),
                     },
                     affected_rows=invalid,
-                    total_rows=total,
+                    total_rows=int(r["total_rows"]),
                     validator="patterns",
                 )
             )
         return out
-
-    @staticmethod
-    def _checksum_invalid(ds: rd.Dataset, col: str, kind: str) -> tuple[int, int]:
-        import pandas as pd
-        import pyarrow as pa
-
-        from .rules.validity import VALIDATORS
-
-        fn = VALIDATORS[kind]
-
-        def per_batch(t: pa.Table) -> pa.Table:
-            mask = fn(pd.Series(t[col].to_pylist(), dtype="object"))
-            return pa.table(
-                {
-                    "total": pa.array([t.num_rows], pa.int64()),
-                    "invalid": pa.array([int((~mask).sum())], pa.int64()),
-                }
-            )
-
-        pdf = ds.select_columns([col]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
-        return int(pdf["invalid"].sum()), int(pdf["total"].sum())
 
 
 class IntegrityValidator:

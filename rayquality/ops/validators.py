@@ -220,6 +220,73 @@ def pattern_validity(
     return pa.table(out)
 
 
+def multi_pattern_validity(
+    ds: rd.Dataset,
+    regex_specs: dict[str, str],
+    checksum_specs: dict[str, "object"] | None = None,
+    allow_nulls: bool = True,
+    with_samples: bool = True,
+) -> pa.Table:
+    """Validity counts + <=10 sample invalid values for MANY pattern rules
+    in ONE pass (C validated columns used to cost C full reads in the
+    engine). ``regex_specs``: {column: anchored-regex};
+    ``checksum_specs``: {column: pandas mask fn} (CPF/CNPJ kernels).
+    Null/blank handling matches :func:`pattern_validity`."""
+    checksum_specs = checksum_specs or {}
+    cols = list(regex_specs) + [c for c in checksum_specs if c not in regex_specs]
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        names, totals, valids, samples = [], [], [], []
+        for c, regex in regex_specs.items():
+            col = pc.cast(t[c], pa.string())
+            stripped = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+            nullish = pc.or_(pc.is_null(col), pc.equal(stripped, ""))
+            m = pc.match_substring_regex(stripped, f"^(?:{regex})$")
+            ok = pc.if_else(nullish, pa.scalar(allow_nulls), m)
+            names.append(c)
+            totals.append(t.num_rows)
+            valids.append(int(pc.sum(ok.cast(pa.int64())).as_py() or 0))
+            bad = pc.drop_null(pc.if_else(ok, pa.scalar(None, pa.string()), stripped))
+            bad = bad.combine_chunks() if isinstance(bad, pa.ChunkedArray) else bad
+            samples.append(bad.take(pc.sort_indices(bad)[:10]).to_pylist())
+        for c, fn in checksum_specs.items():
+            vals = pd.Series(t[c].to_pylist(), dtype="object")
+            mask = fn(vals)  # True = valid (kernels handle null semantics)
+            names.append(c)
+            totals.append(t.num_rows)
+            valids.append(int(mask.sum()))
+            bad_vals = sorted(str(v) for v in vals[~mask].dropna())[:10]
+            samples.append(bad_vals)
+        return pa.table(
+            {
+                "column_name": pa.array(names, pa.string()),
+                "total_rows": pa.array(totals, pa.int64()),
+                "valid_count": pa.array(valids, pa.int64()),
+                "samples": pa.array(samples, pa.list_(pa.string())),
+            }
+        )
+
+    parts = ds.select_columns(cols).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("column_name", as_index=False).agg(
+        total_rows=("total_rows", "sum"),
+        valid_count=("valid_count", "sum"),
+        samples=("samples", lambda ls: sorted(v for lst in ls for v in lst)[:10]),
+    )
+    agg = agg.set_index("column_name").reindex(cols).reset_index()
+    out = {
+        "column_name": pa.array(agg["column_name"], pa.string()),
+        "total_rows": pa.array(agg["total_rows"].astype(np.int64)),
+        "valid_count": pa.array(agg["valid_count"].astype(np.int64)),
+        "invalid_count": pa.array(
+            (agg["total_rows"] - agg["valid_count"]).astype(np.int64)
+        ),
+        "passed": pa.array((agg["total_rows"] == agg["valid_count"]).to_numpy()),
+    }
+    if with_samples:
+        out["invalid_samples"] = pa.array(list(agg["samples"]), pa.list_(pa.string()))
+    return pa.table(out)
+
+
 def integrity(
     ds: rd.Dataset,
     fk_column: str,
@@ -301,9 +368,9 @@ def integrity_composite(
         any_null = df.isna().any(axis=1)
         nulls = int(any_null.sum())
         vals = df[~any_null]
-        orphaned = sum(
-            1 for tup in vals.itertuples(index=False, name=None) if tup not in keys
-        )
+        # vectorized membership: MultiIndex isin instead of a per-row loop
+        member = pd.MultiIndex.from_frame(vals).isin(keys)
+        orphaned = int((~member).sum())
         return pa.table(
             {
                 "total_rows": pa.array([t.num_rows], pa.int64()),
