@@ -276,6 +276,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate (mergeable Misra-Gries) -> rows-only driver check
         return heavy_hitters(orders, "o_custkey", k=64, top=10)
 
+    def heavy_hitters_exact_events(sf):
+        from rayquality.ops.sketch import heavy_hitters_exact
+
+        (ev,) = _tables(sf, "events")
+        return heavy_hitters_exact(ev, "event_type", k=8)
+
+    def pii_scrub_documents(sf):
+        import numpy as np
+        import pandas as pd
+
+        from rayquality.ops import text as textops
+
+        (docs,) = _tables(sf, "documents")
+
+        # testdata text contains no PII, so both sides append the SAME
+        # deterministic synthetic PII (keyed on doc_id) before scrubbing —
+        # the rewrite machinery is exercised on real matches.
+        def augment(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy()
+            t = df["text"].astype(str)
+            t = t + np.where(
+                ids % 3 == 0,
+                (" contact user" + df["doc_id"].astype(str) + "@mail.example.com").to_numpy(object),
+                "",
+            )
+            t = t + np.where(ids % 5 == 0, " call (11) 98765-4321 or 555-12-3456", "")
+            t = t + np.where(ids % 7 == 0, " you Grumblefut", "")
+            return pd.DataFrame({"doc_id": df["doc_id"], "text": t})
+
+        aug = docs.select_columns(["doc_id", "text"]).map_batches(augment, batch_format="pandas")
+        return textops.pii_scrub(aug).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def dedup_clusters_documents(sf):
+        from rayquality.ops import textdedup as td
+
+        (docs,) = _tables(sf, "documents")
+        return (
+            td.exact_dup_clusters(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def stratified_sample_orders(sf):
+        from rayquality.ops import windows
+
+        (orders,) = _tables(sf, "orders")
+        return windows.stratified_sample(orders, "o_orderpriority", "o_orderkey", n=20)
+
+    def pack_sequences_documents(sf):
+        from rayquality.ops import text as textops
+
+        (docs,) = _tables(sf, "documents")
+        return textops.pack_sequences(docs, capacity=512)
+
     def quantiles_lineitem_qty(sf):
         from rayquality.ops.sketch import exact_quantiles
 
@@ -340,6 +395,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": revenue_by_segment,
         "top_customers_per_segment": top_customers_per_segment,
         "heavy_hitters_orders": heavy_hitters_orders,
+        "heavy_hitters_exact_events": heavy_hitters_exact_events,
+        "pii_scrub_documents": pii_scrub_documents,
+        "dedup_clusters_documents": dedup_clusters_documents,
+        "stratified_sample_orders": stratified_sample_orders,
+        "pack_sequences_documents": pack_sequences_documents,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
@@ -359,6 +419,35 @@ def _pattern_sql(table: str, col: str, regex: str) -> str:
         f"COUNT(*) - CAST(SUM({valid}) AS BIGINT) AS invalid_count, "
         f"(COUNT(*) - CAST(SUM({valid}) AS BIGINT)) = 0 AS passed "
         f"FROM {table}"
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """Chained regexp_replace CTEs in the exact order of
+    rayquality.scrub.PATTERNS (one source of truth for patterns); the
+    deterministic doc_id-keyed augmentation mirrors the query callable."""
+    from rayquality import scrub as _scrub
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call (11) 98765-4321 or 555-12-3456' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' you Grumblefut' ELSE '' END"
+    )
+    sql = f"WITH s0 AS (SELECT doc_id, {aug} AS t, 0 AS hits FROM documents)"
+    i = 0
+    for _name, pat, repl in _scrub.PATTERNS:
+        p = ("(?i)" if pat.flags & re.IGNORECASE else "") + pat.pattern
+        i += 1
+        sql += (
+            f", s{i} AS (SELECT doc_id, regexp_replace(t, '{p}', '{repl}', 'g') AS t, "
+            f"hits + len(regexp_extract_all(t, '{p}')) AS hits FROM s{i - 1})"
+        )
+    return (
+        sql
+        + f" SELECT doc_id, t AS scrubbed, CAST(hits AS BIGINT) AS n_hits "
+        f"FROM s{i} ORDER BY doc_id"
     )
 
 
@@ -532,6 +621,46 @@ def oracle_sql() -> dict[str, str]:
             "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "  GROUP BY c.c_mktsegment, c.c_custkey) "
             "WHERE rank <= 3 ORDER BY c_mktsegment, rank"
+        ),
+        "heavy_hitters_exact_events": (
+            "SELECT event_type AS value, COUNT(*) AS cnt FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type "
+            "HAVING COUNT(*) * 8 > (SELECT COUNT(event_type) FROM events) "
+            "ORDER BY cnt DESC, value"
+        ),
+        "pii_scrub_documents": _pii_scrub_sql(),
+        "dedup_clusters_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "stratified_sample_orders": (
+            "SELECT o_orderpriority, o_orderkey, rank FROM ("
+            "  SELECT o_orderpriority, o_orderkey, "
+            "    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "      ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) AS BIGINT) AS rank "
+            "  FROM orders) "
+            "WHERE rank <= 20 ORDER BY o_orderpriority, rank"
+        ),
+        # next-fit packing is sequential per partition -> recursive CTE
+        # stepping one row per partition per iteration
+        "pack_sequences_documents": (
+            "WITH RECURSIVE base AS ("
+            "  SELECT part, doc_id, tok, "
+            "    CAST(ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS BIGINT) AS rn "
+            "  FROM (SELECT doc_id, "
+            "          CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok, "
+            "          (doc_id * 2654435761) % 4294967296 % 16 AS part "
+            "        FROM documents)), "
+            "rec AS ("
+            "  SELECT part, rn, doc_id, tok, tok AS fill, CAST(0 AS BIGINT) AS bin "
+            "  FROM base WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT b.part, b.rn, b.doc_id, b.tok, "
+            "    CASE WHEN r.fill + b.tok <= 512 THEN r.fill + b.tok ELSE b.tok END, "
+            "    CASE WHEN r.fill + b.tok <= 512 THEN r.bin ELSE r.bin + 1 END "
+            "  FROM rec r JOIN base b ON b.part = r.part AND b.rn = r.rn + 1) "
+            "SELECT doc_id, part * 4294967296 + bin AS bin_id, tok AS n_tokens "
+            "FROM rec ORDER BY doc_id"
         ),
         "quantiles_lineitem_qty": (
             "WITH a AS (SELECT quantile_disc(l_quantity, "

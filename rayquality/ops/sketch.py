@@ -222,3 +222,68 @@ def heavy_hitters(
         .head(top)
         .reset_index(drop=True)
     )
+
+
+def heavy_hitters_exact(ds: rd.Dataset, column: str, k: int = 16) -> pd.DataFrame:
+    """EXACT heavy hitters: every value with true frequency > n/k, with
+    its exact count (n = non-null rows).
+
+    Two streaming passes, nothing shuffles:
+
+    1. Misra-Gries summaries with k counters (:func:`heavy_hitters`). The
+       classic guarantee — per-counter undercount <= n/k — means every
+       value with true frequency > n/k SURVIVES the merge, so the <=k
+       survivors are a superset of the answer.
+    2. Exact verification: broadcast the candidate set (``ray.put`` once),
+       each batch emits exact counts for candidate values only plus its
+       non-null row count (<= k+1 skinny rows per batch), the driver sums
+       the partials and keeps candidates with ``count * k > n``.
+
+    This is the scale path for the reference's exact
+    ``duplicate_values``-style report (``validators/duplicates.py`` in
+    /root/reference collects full value counts): per-batch state is O(k)
+    regardless of column cardinality, and the result is SQL-verifiable
+    (``GROUP BY .. HAVING COUNT(*) * k > n``), unlike the raw sketch.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    cands = heavy_hitters(ds, column, k=k, top=k)
+    if not len(cands):
+        return pd.DataFrame(
+            {"value": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)}
+        )
+    cand_arr = pa.array(cands[column].tolist())
+    cand_ref = ray.put(cand_arr)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        col = pc.drop_null(t[column].combine_chunks())
+        vc = pc.value_counts(col.filter(pc.is_in(col, value_set=cand)))
+        # null sentinel row carries this batch's non-null total
+        return pa.table(
+            {
+                "value": pa.concat_arrays(
+                    [vc.field("values").cast(cand.type), pa.array([None], cand.type)]
+                ),
+                "cnt": pa.array(
+                    vc.field("counts").cast(pa.int64()).to_pylist() + [len(col)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = int(parts.loc[parts["value"].isna(), "cnt"].sum())
+    counts = parts.dropna(subset=["value"]).groupby("value", as_index=False)["cnt"].sum()
+    out = counts[counts["cnt"] * k > total].copy()
+    out.columns = ["value", "cnt"]
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values(["cnt", "value"], ascending=[False, True]).reset_index(
+        drop=True
+    )

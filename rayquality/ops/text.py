@@ -63,6 +63,97 @@ def fingerprints(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text")
     return ds.select_columns([id_col, text_col]).map_batches(per_batch, batch_format="pyarrow")
 
 
+_KNUTH = np.uint64(2654435761)
+_H32 = np.uint64(1 << 32)
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 16,
+) -> pd.DataFrame:
+    """Sequence packing for training batches: assign documents to bins of at
+    most ``capacity`` tokens (next-fit in id order; an oversize document
+    gets a bin of its own).
+
+    Deterministic and partition-parallel: documents are routed to
+    ``(id * 2654435761) % 2^32 % n_parts`` partitions (a pure function of
+    the id, so the layout is stable across runs and resumable), and each
+    partition packs independently — ``bin_id = part * 2^32 + local_bin``.
+    Within a partition the next-fit scan is a GALLOPING cumsum walk: one
+    ``np.searchsorted`` per emitted bin (not per row), so the Python-level
+    loop count is ~total_tokens/capacity, each step vectorized.
+
+    Next-fit (vs first-fit-decreasing) is the streaming-friendly choice: a
+    100-TB corpus packs in one pass with O(1) state per partition, and its
+    sequential rule is SQL-expressible (recursive CTE) for the oracle.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((ids * _KNUTH) % _H32 % np.uint64(n_parts)).astype(np.int64)
+        n = pc.count_substring_regex(t[text_col], r"\S+").cast(pa.int64())
+        return pa.table({id_col: t[id_col], "tok": n, "part": pa.array(part)})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        tok = g["tok"].to_numpy(np.int64)
+        cum = np.cumsum(tok)
+        bins = np.empty(len(tok), np.int64)
+        i, b, base = 0, 0, 0
+        while i < len(tok):
+            j = int(np.searchsorted(cum, base + capacity, side="right"))
+            if j <= i:  # oversize document -> its own bin
+                j = i + 1
+            bins[i:j] = b
+            base = int(cum[j - 1])
+            i, b = j, b + 1
+        part = int(g["part"].iloc[0])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "bin_id": part * (1 << 32) + bins,
+                "n_tokens": tok,
+            }
+        )
+
+    out = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def pii_scrub(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """PII/toxicity scrub over a documents table.
+
+    Applies the shared pattern list from :mod:`rayquality.scrub` (the same
+    module the flagship pipeline and its oracle import, so pattern order
+    and semantics are defined in exactly one place) to ``text_col`` via
+    pandas' compiled-regex engine — one vectorized pass per pattern per
+    batch, no Python row loops. Returns (id, scrubbed, n_hits).
+
+    Generalizes the reference's match=>count pattern rules
+    (``src/data_quality/validators/patterns.py:203-232`` in /root/reference)
+    to match=>REWRITE over arbitrary document tables; SQL-equivalent is a
+    chain of ``regexp_replace(..., 'g')`` CTEs in the same order.
+    """
+    from ..scrub import scrub_series
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        scrubbed, hits = scrub_series(df[text_col])
+        return pd.DataFrame(
+            {id_col: df[id_col], "scrubbed": scrubbed, "n_hits": hits.astype(np.int64)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(per_batch, batch_format="pandas")
+
+
 class _LangPpl:
     def __init__(self) -> None:
         self.lang = langid.get_model()

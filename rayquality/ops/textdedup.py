@@ -122,6 +122,50 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
     return kept.sort(id_col)
 
 
+def exact_dup_clusters(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-document duplicate-cluster labels: every row gets
+    ``cluster_id = min(id)`` among rows with identical content.
+
+    Unlike :func:`exact_dedup` (which returns only the winners), this emits
+    one labeled row per INPUT document — the form a training-data pipeline
+    needs to join drop/keep decisions or cluster stats back onto the corpus.
+
+    Scale shape: the shuffle moves (id, 16-byte content hash) only;
+    hash-partitioning on the content hash co-locates each cluster, and the
+    label is a vectorized per-partition ``groupby.transform('min')``
+    (equivalent to ``MIN(id) OVER (PARTITION BY text)`` when md5 is
+    collision-free).
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col], "h": pa.array(hs, pa.string())})
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df["h"], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[[id_col]].copy()
+        out["cluster_id"] = g.groupby("h")[id_col].transform("min").to_numpy(np.int64)
+        return out
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def minhash_signatures(
     ds: rd.Dataset,
     id_col: str = "doc_id",

@@ -138,3 +138,59 @@ def systematic_sample(ds: rd.Dataset, key: str, modulus: int, remainder: int = 0
         return t.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_KNUTH = np.uint64(2654435761)  # multiplicative hash constant (Knuth TAOCP v3 §6.4)
+_H32 = np.uint64(1 << 32)
+
+
+def stratified_sample(
+    ds: rd.Dataset, group_col: str, key_col: str, n: int, n_parts: int = 64
+) -> pd.DataFrame:
+    """Deterministic stratified sample: exactly ``n`` rows per stratum
+    (fewer if the stratum is smaller), chosen by a keyed pseudo-random
+    order so the sample is reproducible AND SQL-verifiable.
+
+    Rank key is the Knuth multiplicative hash ``(key * 2654435761) mod 2^32``
+    (ties broken by the key itself) — expressible identically in SQL as
+    ``ROW_NUMBER() OVER (PARTITION BY grp ORDER BY (key*2654435761)%4294967296,
+    key)``, unlike an RNG. Replaces the reference's driver-side
+    ``ORDER BY RAND() LIMIT n`` (core/orchestrator.py:183-199 in
+    /root/reference) with a per-stratum distributed top-n:
+
+    - per-batch combiner: local n smallest hashes per stratum (block top-n,
+      so at most ``n * strata_in_batch`` rows leave any block);
+    - hash-partition on the stratum (each stratum fully co-located);
+    - per-partition vectorized top-n = the final answer (no driver merge
+      beyond concatenating partition outputs).
+    """
+
+    def block_topn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy(np.int64).astype(np.uint64)
+        out = df[[group_col, key_col]].copy()
+        out["hkey"] = ((k * _KNUTH) % _H32).astype(np.int64)
+        out = out.sort_values(["hkey", key_col], kind="stable")
+        return out.groupby(group_col, as_index=False, sort=False).head(n)
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", key_col], kind="stable")
+        g = g.groupby(group_col, as_index=False, sort=False).head(n)
+        g = g.copy()
+        g["rank"] = (g.groupby(group_col).cumcount() + 1).astype(np.int64)
+        return g[[group_col, key_col, "rank"]]
+
+    out = (
+        ds.select_columns([group_col, key_col])
+        .map_batches(block_topn, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values([group_col, "rank"]).reset_index(drop=True)

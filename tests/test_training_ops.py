@@ -1,0 +1,154 @@
+"""Tests for the round-2 training-data operators: exact heavy hitters,
+PII scrub over documents, dup-cluster labeling, stratified sampling and
+sequence packing. Each checks the distributed op against a naive pandas
+reference on real testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+KNUTH = np.uint64(2654435761)
+H32 = np.uint64(1 << 32)
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_heavy_hitters_exact(rd):
+    from rayquality.ops.sketch import heavy_hitters_exact
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    k = 8
+    got = heavy_hitters_exact(ev, "event_type", k=k)
+
+    vc = pd.read_parquet(f"{SF}/events.parquet")["event_type"].dropna().value_counts()
+    n = int(vc.sum())
+    want = vc[vc * k > n]
+    assert set(got["value"]) == set(want.index)
+    assert dict(zip(got["value"], got["cnt"])) == want.to_dict()
+    assert got["cnt"].dtype == np.int64
+    # sorted count desc, value asc
+    assert got.equals(
+        got.sort_values(["cnt", "value"], ascending=[False, True]).reset_index(drop=True)
+    )
+
+
+def test_heavy_hitters_exact_guarantee_skewed(rd):
+    """A value just above the n/k threshold must appear with its exact count
+    even when spread across many batches (sketch undercounts; verify pass
+    must not)."""
+    from rayquality.ops.sketch import heavy_hitters_exact
+
+    rng = np.random.default_rng(11)
+    # 3000 distinct rare values + one value at ~20% frequency
+    vals = [f"v{i}" for i in range(3000)] + ["hot"] * 750
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    out = heavy_hitters_exact(ds, "x", k=16)
+    assert list(out["value"]) == ["hot"]
+    assert int(out["cnt"].iloc[0]) == 750
+
+
+def test_pii_scrub_parity(rd):
+    from rayquality.ops.text import pii_scrub
+    from rayquality.scrub import scrub_text
+
+    texts = [
+        "mail me at a.b-c_d@ex.co now",
+        "ssn 123-45-6789 phone (11) 98765-4321 and 1234-5678",
+        "you GRUMBLEFUT and vexmuggle",
+        "nothing to see",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = pii_scrub(rd.from_pandas(df).repartition(2)).to_pandas().sort_values("doc_id")
+    for t, s, h in zip(texts, got["scrubbed"], got["n_hits"]):
+        ws, wh = scrub_text(t)
+        assert s == ws and h == wh
+    assert got["scrubbed"].iloc[0] == "mail me at <EMAIL> now"
+    assert got["scrubbed"].iloc[1] == "ssn <SSN> phone <PHONE> and <PHONE>"
+    assert got["scrubbed"].iloc[2] == "you <CENSORED> and <CENSORED>"
+    assert got["n_hits"].tolist() == [1, 3, 2, 0, 0]
+
+
+def test_exact_dup_clusters(rd):
+    from rayquality.ops.textdedup import exact_dup_clusters
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13, 14, 15],
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+        }
+    )
+    got = (
+        exact_dup_clusters(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = df.copy()
+    want["cluster_id"] = df.groupby("text")["doc_id"].transform("min")
+    pd.testing.assert_frame_equal(got, want[["doc_id", "cluster_id"]], check_dtype=False)
+
+
+def test_stratified_sample(rd):
+    from rayquality.ops.windows import stratified_sample
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    n = 7
+    got = stratified_sample(orders, "o_orderpriority", "o_orderkey", n=n)
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderpriority", "o_orderkey"]]
+    pdf["hkey"] = (
+        (pdf["o_orderkey"].to_numpy(np.int64).astype(np.uint64) * KNUTH) % H32
+    ).astype(np.int64)
+    want = (
+        pdf.sort_values(["hkey", "o_orderkey"])
+        .groupby("o_orderpriority")
+        .head(n)
+        .sort_values(["o_orderpriority", "hkey"])
+    )
+    for grp, g in got.groupby("o_orderpriority"):
+        wg = want[want["o_orderpriority"] == grp]
+        assert list(g.sort_values("rank")["o_orderkey"]) == list(wg["o_orderkey"])
+        assert list(g["rank"]) == list(range(1, len(wg) + 1))
+    assert set(got["o_orderpriority"]) == set(pdf["o_orderpriority"])
+
+
+def test_pack_sequences_invariants_and_parity(rd):
+    from rayquality.ops.text import pack_sequences
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    cap = 256
+    got = pack_sequences(docs, capacity=cap, n_parts=4)
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    assert sorted(got["doc_id"]) == sorted(pdf["doc_id"])  # every doc exactly once
+
+    # naive sequential next-fit reference per partition
+    pdf["tok"] = pdf["text"].str.count(r"\S+").astype(np.int64)
+    pdf["part"] = (
+        (pdf["doc_id"].to_numpy(np.int64).astype(np.uint64) * KNUTH)
+        % H32
+        % np.uint64(4)
+    ).astype(np.int64)
+    want_bins = {}
+    for part, g in pdf.sort_values("doc_id").groupby("part"):
+        fill, b = None, -1
+        for did, tok in zip(g["doc_id"], g["tok"]):
+            if fill is None or fill + tok > cap:
+                b, fill = b + 1, tok
+            else:
+                fill += tok
+            want_bins[did] = part * (1 << 32) + b
+    assert dict(zip(got["doc_id"], got["bin_id"])) == want_bins
+
+    # capacity invariant: any bin over capacity must be a singleton oversize doc
+    for _bin, g in got.groupby("bin_id"):
+        assert g["n_tokens"].sum() <= cap or (len(g) == 1 and g["n_tokens"].iloc[0] > cap)
