@@ -331,6 +331,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (docs,) = _tables(sf, "documents")
         return textops.pack_sequences(docs, capacity=512)
 
+    def mixture_by_lang_documents(sf):
+        from rayquality.ops import windows
+
+        (docs,) = _tables(sf, "documents")
+        mixed = windows.weighted_mixture(
+            docs.select_columns(["doc_id", "lang"]),
+            "lang",
+            "doc_id",
+            {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25},
+        )
+        return mixed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def window_rank_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.grouped_rank(ev, "user_id", "value", "event_id", ascending=False)
+        return (
+            out.to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "rank"]]
+        )
+
     def quantiles_lineitem_qty(sf):
         from rayquality.ops.sketch import exact_quantiles
 
@@ -400,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_documents": dedup_clusters_documents,
         "stratified_sample_orders": stratified_sample_orders,
         "pack_sequences_documents": pack_sequences_documents,
+        "mixture_by_lang_documents": mixture_by_lang_documents,
+        "window_rank_events": window_rank_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
@@ -661,6 +686,20 @@ def oracle_sql() -> dict[str, str]:
             "  FROM rec r JOIN base b ON b.part = r.part AND b.rn = r.rn + 1) "
             "SELECT doc_id, part * 4294967296 + bin AS bin_id, tok AS n_tokens "
             "FROM rec ORDER BY doc_id"
+        ),
+        "mixture_by_lang_documents": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 % 10000 < "
+            "  CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 "
+            "    WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 2500 "
+            "    ELSE 10000 END "
+            "ORDER BY doc_id"
+        ),
+        "window_rank_events": (
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+            "  ORDER BY value DESC, event_id) AS BIGINT) AS rank "
+            "FROM events ORDER BY event_id"
         ),
         "quantiles_lineitem_qty": (
             "WITH a AS (SELECT quantile_disc(l_quantity, "

@@ -194,3 +194,72 @@ def stratified_sample(
         .to_pandas()
     )
     return out.sort_values([group_col, "rank"]).reset_index(drop=True)
+
+
+def weighted_mixture(
+    ds: rd.Dataset,
+    strat_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+) -> rd.Dataset:
+    """Deterministic weighted mixture sampling — the data-mixing primitive
+    of a training pipeline (e.g. keep 100% of English, 25% of zh docs).
+
+    A row survives iff ``knuth_hash(key) % 10000 < weight(stratum) * 10000``:
+    a pure per-row function of (key, stratum), so the mix is reproducible,
+    embarrassingly parallel (one vectorized filter pass, no shuffle), and
+    SQL-checkable — unlike RNG-based sampling. The tiny weight table ships
+    in the task closure.
+    """
+    thresholds = {k: float(w) * 10000.0 for k, w in weights.items()}
+    dflt = float(default) * 10000.0
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy(np.int64).astype(np.uint64)
+        h = ((k * _KNUTH) % _H32 % np.uint64(10000)).astype(np.float64)
+        thr = df[strat_col].map(thresholds).fillna(dflt).to_numpy(np.float64)
+        return df[h < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def grouped_rank(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    ascending: bool = False,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Window-function analog of ``ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY order_col [DESC], tiebreak)`` without a global sort: hash
+    partition on the group (co-locates each window), one vectorized sort +
+    cumcount per partition.
+
+    Output: (tiebreak_col, group_col, rank). The tiebreak makes the rank
+    total and deterministic even with duplicate order values.
+    """
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        df = df[[group_col, order_col, tiebreak_col]].copy()
+        df["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group_col, order_col, tiebreak_col],
+            ascending=[True, ascending, True],
+            kind="stable",
+        )
+        out = g[[tiebreak_col, group_col]].copy()
+        out["rank"] = (g.groupby(group_col).cumcount() + 1).astype(np.int64)
+        return out
+
+    return (
+        ds.select_columns([group_col, order_col, tiebreak_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

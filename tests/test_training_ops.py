@@ -121,6 +121,44 @@ def test_stratified_sample(rd):
     assert set(got["o_orderpriority"]) == set(pdf["o_orderpriority"])
 
 
+def test_weighted_mixture(rd):
+    from rayquality.ops.windows import weighted_mixture
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    w = {"en": 1.0, "zh": 0.25}
+    got = (
+        weighted_mixture(docs.select_columns(["doc_id", "lang"]), "lang", "doc_id", w, default=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "lang"]]
+    h = (pdf["doc_id"].to_numpy(np.int64).astype(np.uint64) * KNUTH) % H32 % np.uint64(10000)
+    thr = pdf["lang"].map(w).fillna(0.5).to_numpy(np.float64) * 10000
+    want = pdf[h.astype(np.float64) < thr].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # all English kept, zh subsampled
+    assert (got["lang"] == "en").sum() == (pdf["lang"] == "en").sum()
+    assert (got["lang"] == "zh").sum() < (pdf["lang"] == "zh").sum()
+
+
+def test_grouped_rank(rd):
+    from rayquality.ops.windows import grouped_rank
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        grouped_rank(ev, "user_id", "value", "event_id", ascending=False)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "rank"]]
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "user_id", "value"]]
+    pdf = pdf.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+    pdf["rank"] = (pdf.groupby("user_id").cumcount() + 1).astype(np.int64)
+    want = pdf.sort_values("event_id").reset_index(drop=True)[["event_id", "user_id", "rank"]]
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_pack_sequences_invariants_and_parity(rd):
     from rayquality.ops.text import pack_sequences
 
