@@ -343,6 +343,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mixed.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def json_field_sum_events(sf):
+        (ev,) = _tables(sf, "events")
+        return relational.json_field_sum(ev, "props", "k", "user_id")
+
+    def histogram_lineitem_price(sf):
+        (li,) = _tables(sf, "lineitem")
+        return relational.value_histogram(li, "l_extendedprice", 5000.0)
+
     def window_rank_events(sf):
         from rayquality.ops import windows
 
@@ -424,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_orders": stratified_sample_orders,
         "pack_sequences_documents": pack_sequences_documents,
         "mixture_by_lang_documents": mixture_by_lang_documents,
+        "json_field_sum_events": json_field_sum_events,
+        "histogram_lineitem_price": histogram_lineitem_price,
         "window_rank_events": window_rank_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_distinct_orders": approx_distinct_orders,
@@ -687,6 +697,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, part * 4294967296 + bin AS bin_id, tok AS n_tokens "
             "FROM rec ORDER BY doc_id"
         ),
+        # same naming-convention sniff as engine.discover_relations, but over
+        # the catalog the driver registered (information_schema of the views)
+        "fk_discovery": (
+            "WITH cols AS ("
+            "  SELECT table_name AS t, column_name AS c, "
+            "    CASE WHEN strpos(column_name, '_') > 0 "
+            "         THEN substr(column_name, strpos(column_name, '_') + 1) "
+            "         ELSE column_name END AS s "
+            "  FROM information_schema.columns "
+            "  WHERE table_name IN ('region','nation','customer','supplier','part',"
+            "'orders','lineitem','events','documents','embeddings')), "
+            "parents AS ("
+            "  SELECT s, t AS parent, c AS parent_column FROM cols "
+            "  WHERE s LIKE '%key' AND starts_with(t, substr(s, 1, length(s) - 3))) "
+            "SELECT co.t AS child, co.c AS fk_column, p.parent, p.parent_column "
+            "FROM cols co JOIN parents p ON co.s = p.s AND p.parent != co.t "
+            "ORDER BY child, fk_column"
+        ),
         "mixture_by_lang_documents": (
             "SELECT doc_id, lang FROM documents "
             "WHERE (doc_id * 2654435761) % 4294967296 % 10000 < "
@@ -694,6 +722,16 @@ def oracle_sql() -> dict[str, str]:
             "    WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 2500 "
             "    ELSE 10000 END "
             "ORDER BY doc_id"
+        ),
+        "json_field_sum_events": (
+            "SELECT user_id, "
+            "CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k, "
+            "CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "histogram_lineitem_price": (
+            "SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS BIGINT) AS bin, "
+            "COUNT(*) AS n FROM lineitem GROUP BY bin ORDER BY bin"
         ),
         "window_rank_events": (
             "SELECT event_id, user_id, "

@@ -100,6 +100,11 @@ def run_bench() -> dict:
         "top_customers_by_revenue",
         "sliding_window_events",
         "asof_last_order",
+        "pii_scrub_documents",
+        "pack_sequences_documents",
+        "window_rank_events",
+        "stratified_sample_orders",
+        "heavy_hitters_exact_events",
     ):
         t = time.time()
         res = qs[name](sf_dir)

@@ -241,3 +241,83 @@ def revenue_by_segment(
     return out.sort_values("c_mktsegment").reset_index(drop=True)[
         ["c_mktsegment", "revenue_cents", "n_orders"]
     ]
+
+
+def json_field_sum(
+    events: rd.Dataset,
+    json_col: str = "props",
+    field: str = "k",
+    group_col: str = "user_id",
+) -> pd.DataFrame:
+    """Semi-structured extraction + rollup: pull an integer field out of a
+    JSON-string column and sum it per group.
+
+    Extraction is ONE vectorized RE2 scan per batch
+    (``pc.extract_regex`` — no per-row json.loads), the per-batch partial
+    sums make the shuffle carry one row per (group, batch), and the final
+    combine is a skinny groupby. SQL: CAST(json_extract(props,'$.k') AS
+    BIGINT). Missing/unparsable fields count as 0 toward the sum but are
+    tallied in n_missing.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            t[json_col], f'"{field}":\\s*(?P<v>-?\\d+)'
+        )  # struct<v: string> or null per row
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        missing = pc.is_null(vals)
+        g = pa.table(
+            {
+                group_col: t[group_col],
+                "sum_k": pc.fill_null(vals, 0),
+                "n_missing": pc.cast(missing, pa.int64()),
+            }
+        ).group_by(group_col).aggregate([("sum_k", "sum"), ("n_missing", "sum")])
+        return g.rename_columns([group_col, "sum_k", "n_missing"])
+
+    out = (
+        events.select_columns([group_col, json_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"), Sum("n_missing", alias_name="n_missing")
+        )
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    out["n_missing"] = out["n_missing"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)[
+        [group_col, "sum_k", "n_missing"]
+    ]
+
+
+def value_histogram(
+    ds: rd.Dataset, column: str, bin_width: float
+) -> pd.DataFrame:
+    """Fixed-width histogram: bin = floor(value / width), exact counts.
+
+    Per-batch value-counts combiner (each batch emits one row per occupied
+    bin) then a skinny groupby — the shuffled table is O(bins), never
+    O(rows). Matches ``GROUP BY FLOOR(value / w)`` bit-for-bit because both
+    sides do the same float64 divide-then-floor.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(pc.cast(t[column], pa.float64()), bin_width)),
+            pa.int64(),
+        )
+        vc = pc.value_counts(pc.drop_null(b))
+        return pa.table(
+            {"bin": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    out = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bin").reset_index(drop=True)

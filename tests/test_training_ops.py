@@ -159,6 +159,39 @@ def test_grouped_rank(rd):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_json_field_sum(rd):
+    from rayquality.ops.relational import json_field_sum
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3],
+            "props": ['{"k": 5}', '{"k": -2}', '{"j": 9}', '{"k": 7}', None],
+        }
+    )
+    got = json_field_sum(rd.from_pandas(df).repartition(2))
+    want = pd.DataFrame(
+        {"user_id": [1, 2, 3], "sum_k": [3, 7, 0], "n_missing": [0, 1, 1]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["sum_k"].dtype == np.int64
+
+
+def test_value_histogram(rd):
+    from rayquality.ops.relational import value_histogram
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = value_histogram(li, "l_extendedprice", 5000.0)
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    want = (
+        np.floor(pdf["l_extendedprice"].to_numpy(np.float64) / 5000.0)
+        .astype(np.int64)
+    )
+    wc = pd.Series(want).value_counts().sort_index()
+    assert list(got["bin"]) == list(wc.index)
+    assert list(got["n"]) == list(wc.values)
+    assert int(got["n"].sum()) == len(pdf)
+
+
 def test_pack_sequences_invariants_and_parity(rd):
     from rayquality.ops.text import pack_sequences
 
