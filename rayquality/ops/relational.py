@@ -126,22 +126,23 @@ def top_customers_by_revenue(
         ).group_by("c_custkey").aggregate([("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["c_custkey", "revenue_cents", "n_orders"])
 
-    def block_topk(t: pa.Table) -> pa.Table:
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
         # block-local top-k before the driver merge: no global sort needed
-        idx = pc.sort_indices(
-            t, sort_keys=[("revenue_cents", "descending"), ("c_custkey", "ascending")]
-        )
-        return t.take(idx[:limit])
+        return df.sort_values(
+            ["revenue_cents", "c_custkey"], ascending=[False, True]
+        ).head(limit)
+
+    from .combine import combine_partials
 
     agg = (
-        orders.select_columns(["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
+        combine_partials(
+            orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            keys=["c_custkey"],
+            sums=["revenue_cents", "n_orders"],
         )
-        .map_batches(block_topk, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pandas")
         .to_pandas()
         .sort_values(["revenue_cents", "c_custkey"], ascending=[False, True])
         .head(limit)
