@@ -329,7 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from rayquality.ops import text as textops
 
         (docs,) = _tables(sf, "documents")
-        return textops.pack_sequences(docs, capacity=512)
+        out = textops.pack_sequences(docs, capacity=512).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
 
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
@@ -345,7 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def json_field_sum_events(sf):
         (ev,) = _tables(sf, "events")
-        return relational.json_field_sum(ev, "props", "k", "user_id")
+        out = relational.json_field_sum(ev, "props", "k", "user_id").to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)
 
     def histogram_lineitem_price(sf):
         (li,) = _tables(sf, "lineitem")

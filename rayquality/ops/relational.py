@@ -249,16 +249,18 @@ def json_field_sum(
     json_col: str = "props",
     field: str = "k",
     group_col: str = "user_id",
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Semi-structured extraction + rollup: pull an integer field out of a
     JSON-string column and sum it per group.
 
     Extraction is ONE vectorized RE2 scan per batch
     (``pc.extract_regex`` — no per-row json.loads), the per-batch partial
     sums make the shuffle carry one row per (group, batch), and the final
-    combine is a skinny groupby. SQL: CAST(json_extract(props,'$.k') AS
-    BIGINT). Missing/unparsable fields count as 0 toward the sum but are
-    tallied in n_missing.
+    combine is a hash-partitioned skinny groupby. Returns a lazy Dataset
+    (one row per group — at corpus scale the group count itself is big, so
+    the result stays distributed for downstream write/join). SQL:
+    CAST(json_extract(props,'$.k') AS BIGINT). Missing/unparsable fields
+    count as 0 toward the sum but are tallied in n_missing.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -276,20 +278,15 @@ def json_field_sum(
         ).group_by(group_col).aggregate([("sum_k", "sum"), ("n_missing", "sum")])
         return g.rename_columns([group_col, "sum_k", "n_missing"])
 
-    out = (
-        events.select_columns([group_col, json_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(group_col)
-        .aggregate(
-            Sum("sum_k", alias_name="sum_k"), Sum("n_missing", alias_name="n_missing")
-        )
-        .to_pandas()
+    from .combine import combine_partials
+
+    return combine_partials(
+        events.select_columns([group_col, json_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=[group_col],
+        sums=["sum_k", "n_missing"],
     )
-    out["sum_k"] = out["sum_k"].astype(np.int64)
-    out["n_missing"] = out["n_missing"].astype(np.int64)
-    return out.sort_values(group_col).reset_index(drop=True)[
-        [group_col, "sum_k", "n_missing"]
-    ]
 
 
 def value_histogram(

@@ -274,13 +274,17 @@ def heavy_hitters_exact(ds: rd.Dataset, column: str, k: int = 16) -> pd.DataFram
             }
         )
 
-    parts = (
-        ds.select_columns([column])
-        .map_batches(exact_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from .combine import combine_partials
+
+    # distributed partial merge: the collected table is <= k+1 rows no
+    # matter how many batches the corpus has
+    parts = combine_partials(
+        ds.select_columns([column]).map_batches(exact_partial, batch_format="pyarrow"),
+        keys=["value"],
+        sums=["cnt"],
+    ).to_pandas()
     total = int(parts.loc[parts["value"].isna(), "cnt"].sum())
-    counts = parts.dropna(subset=["value"]).groupby("value", as_index=False)["cnt"].sum()
+    counts = parts.dropna(subset=["value"])[["value", "cnt"]]
     out = counts[counts["cnt"] * k > total].copy()
     out.columns = ["value", "cnt"]
     out["cnt"] = out["cnt"].astype(np.int64)

@@ -73,7 +73,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_parts: int = 16,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Sequence packing for training batches: assign documents to bins of at
     most ``capacity`` tokens (next-fit in id order; an oversize document
     gets a bin of its own).
@@ -119,14 +119,12 @@ def pack_sequences(
             }
         )
 
-    out = (
+    return (
         ds.select_columns([id_col, text_col])
         .map_batches(per_batch, batch_format="pyarrow")
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
-        .to_pandas()
     )
-    return out.sort_values(id_col).reset_index(drop=True)
 
 
 def pii_scrub(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:

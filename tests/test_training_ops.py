@@ -168,7 +168,12 @@ def test_json_field_sum(rd):
             "props": ['{"k": 5}', '{"k": -2}', '{"j": 9}', '{"k": 7}', None],
         }
     )
-    got = json_field_sum(rd.from_pandas(df).repartition(2))
+    got = (
+        json_field_sum(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
     want = pd.DataFrame(
         {"user_id": [1, 2, 3], "sum_k": [3, 7, 0], "n_missing": [0, 1, 1]}
     )
@@ -197,7 +202,7 @@ def test_pack_sequences_invariants_and_parity(rd):
 
     docs = rd.read_parquet(f"{SF}/documents.parquet")
     cap = 256
-    got = pack_sequences(docs, capacity=cap, n_parts=4)
+    got = pack_sequences(docs, capacity=cap, n_parts=4).to_pandas()
 
     pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
     assert sorted(got["doc_id"]) == sorted(pdf["doc_id"])  # every doc exactly once
