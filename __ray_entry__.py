@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return relational.value_histogram(li, "l_extendedprice", 5000.0)
 
+    def distinct_users_per_event_type(sf):
+        (ev,) = _tables(sf, "events")
+        return relational.distinct_per_group(ev, "event_type", "user_id")
+
     def window_rank_events(sf):
         from rayquality.ops import windows
 
@@ -435,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": pack_sequences_documents,
         "mixture_by_lang_documents": mixture_by_lang_documents,
         "json_field_sum_events": json_field_sum_events,
+        "distinct_users_per_event_type": distinct_users_per_event_type,
         "histogram_lineitem_price": histogram_lineitem_price,
         "window_rank_events": window_rank_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
@@ -730,6 +735,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k, "
             "CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "distinct_users_per_event_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "histogram_lineitem_price": (
             "SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS BIGINT) AS bin, "

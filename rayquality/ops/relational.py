@@ -319,3 +319,44 @@ def value_histogram(
     )
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def distinct_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    n_parts: int = 64,
+) -> pd.DataFrame:
+    """COUNT(DISTINCT value) per group without a wide shuffle.
+
+    Two-level combine: each batch dedups its (group, value) pairs (the
+    combiner — repeated pairs never leave the block), pairs are
+    hash-partitioned on (group, value) so each surviving pair lands exactly
+    once per partition after a second dedup, and per-partition group counts
+    sum to the exact answer because a (group, value) pair can only be
+    counted in its own hash partition. Shuffled volume is O(distinct
+    pairs), never O(rows); the final groupby is O(groups x n_parts).
+    """
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, value_col]].dropna(subset=[value_col]).drop_duplicates()
+        hv = pd.util.hash_pandas_object(out, index=False).to_numpy(np.uint64)
+        out = out.copy()
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[[group_col, value_col]].drop_duplicates()
+        c = u.groupby(group_col, as_index=False, dropna=False).size()
+        return c.rename(columns={"size": "n_distinct"})
+
+    parts = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(dedup_pairs, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(group_col, as_index=False, dropna=False)["n_distinct"].sum()
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -228,3 +228,19 @@ def test_pack_sequences_invariants_and_parity(rd):
     # capacity invariant: any bin over capacity must be a singleton oversize doc
     for _bin, g in got.groupby("bin_id"):
         assert g["n_tokens"].sum() <= cap or (len(g) == 1 and g["n_tokens"].iloc[0] > cap)
+
+
+def test_distinct_per_group(rd):
+    from rayquality.ops.relational import distinct_per_group
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = distinct_per_group(ev, "event_type", "user_id")
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    want = (
+        pdf.groupby("event_type")["user_id"]
+        .nunique()
+        .reset_index(name="n_distinct")
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
