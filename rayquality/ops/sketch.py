@@ -98,9 +98,12 @@ class HllSketch:
 
 
 def approx_distinct(ds: rd.Dataset, column: str, precision: int = 12) -> dict:
-    """Approximate distinct count, shuffle-free: one sketch per batch,
-    elementwise-max merged on the driver. Returns estimate + metadata
-    (``exact=False`` flag mirrors the exactness contract in SURVEY A2)."""
+    """Approximate distinct count, shuffle-free: one sketch per batch, a
+    distributed tree-merge stage (elementwise max over up to 1024 sketches
+    per task), then a tiny driver merge — the driver sees
+    ``n_batches / 1024`` register blobs, not one per batch. Returns
+    estimate + metadata (``exact=False`` flag mirrors the exactness
+    contract in SURVEY A2)."""
 
     def per_batch(t: pa.Table) -> pa.Table:
         sk = HllSketch(precision)
@@ -109,10 +112,24 @@ def approx_distinct(ds: rd.Dataset, column: str, precision: int = 12) -> dict:
             sk.add(col.to_numpy(zero_copy_only=False))
         return pa.table({"registers": pa.array([sk.registers.tobytes()], pa.large_binary())})
 
-    parts = ds.select_columns([column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    def merge_blobs(t: pa.Table) -> pa.Table:
+        mats = np.stack(
+            [np.frombuffer(b.as_py(), np.uint8) for b in t["registers"]]
+        )
+        return pa.table(
+            {"registers": pa.array([mats.max(axis=0).tobytes()], pa.large_binary())}
+        )
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(merge_blobs, batch_size=1024, batch_format="pyarrow")
+        .to_pandas()
+    )
     merged = HllSketch(precision)
-    for blob in parts["registers"]:
-        merged |= HllSketch(precision, np.frombuffer(blob, dtype=np.uint8).copy())
+    if len(parts):
+        stacked = np.stack([np.frombuffer(b, np.uint8) for b in parts["registers"]])
+        merged |= HllSketch(precision, stacked.max(axis=0).copy())
     return {
         "column": column,
         "estimate": merged.estimate(),

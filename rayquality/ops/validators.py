@@ -18,6 +18,31 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 
+def _fold(sum_cols: list[str], sample_col: str | None = None, key_col: str | None = None):
+    """Intermediate partial-merge stage: collapses up to ``batch_size``
+    per-batch partial rows into one row (or one per key) so the driver
+    collects O(n_batches / 1024) rows, not one per batch — the same
+    arithmetic the driver-side combine applies, pushed into the tree.
+    Sample-list columns merge as the 10 smallest (deterministic under any
+    arrival order)."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        def merge(g: pd.DataFrame) -> dict:
+            row = {c: g[c].sum() for c in sum_cols}
+            if sample_col is not None:
+                row[sample_col] = sorted(v for lst in g[sample_col] for v in lst)[:10]
+            return row
+
+        if key_col is None:
+            return pd.DataFrame([merge(df)])
+        # key cardinality is tiny (one row per validated column)
+        return pd.DataFrame(
+            [{key_col: k, **merge(g)} for k, g in df.groupby(key_col, sort=False)]
+        )
+
+    return fold
+
+
 def completeness(ds: rd.Dataset, columns: list[str], threshold: float = 0.95) -> pa.Table:
     """Per-column null tally (validators/completeness.py:98-120): partial
     ``pc.is_null`` sums per batch, final add on the driver."""
@@ -32,7 +57,16 @@ def completeness(ds: rd.Dataset, columns: list[str], threshold: float = 0.95) ->
             }
         )
 
-    parts = ds.select_columns(columns).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    parts = (
+        ds.select_columns(columns)
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(
+            _fold(["null_count", "total_rows"], key_col="column_name"),
+            batch_size=1024,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     agg = parts.groupby("column_name", as_index=False).sum().sort_values("column_name")
     total = agg["total_rows"].to_numpy()
     nulls = agg["null_count"].to_numpy()
@@ -108,7 +142,15 @@ def multi_duplicates(
         ).group_by("col").aggregate([("total", "sum"), ("nulls", "sum"), ("distinct", "sum")])
         return g.rename_columns(["col", "total", "nulls", "distinct"])
 
-    parts = counts.map_batches(reduce_counts, batch_format="pyarrow").to_pandas()
+    parts = (
+        counts.map_batches(reduce_counts, batch_format="pyarrow")
+        .map_batches(
+            _fold(["total", "nulls", "distinct"], key_col="col"),
+            batch_size=1024,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     agg = parts.groupby("col", as_index=False).sum()
     by_col = {r["col"]: r for _, r in agg.iterrows()}
     rows = []
@@ -204,7 +246,16 @@ def pattern_validity(
             }
         )
 
-    parts = ds.select_columns([column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    parts = (
+        ds.select_columns([column])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(
+            _fold(["total_rows", "valid_count"], sample_col="samples"),
+            batch_size=1024,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     total = int(parts["total_rows"].sum())
     valid = int(parts["valid_count"].sum())
     out = {
@@ -266,7 +317,20 @@ def multi_pattern_validity(
             }
         )
 
-    parts = ds.select_columns(cols).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(
+            _fold(
+                ["total_rows", "valid_count"],
+                sample_col="samples",
+                key_col="column_name",
+            ),
+            batch_size=1024,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     agg = parts.groupby("column_name", as_index=False).agg(
         total_rows=("total_rows", "sum"),
         valid_count=("valid_count", "sum"),
@@ -322,7 +386,18 @@ def integrity(
             }
         )
 
-    parts = ds.select_columns([fk_column]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    parts = (
+        ds.select_columns([fk_column])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(
+            _fold(
+                ["total_rows", "null_count", "orphaned_count"], sample_col="samples"
+            ),
+            batch_size=1024,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     total = int(parts["total_rows"].sum())
     nulls = int(parts["null_count"].sum())
     orphans = int(parts["orphaned_count"].sum())
