@@ -212,6 +212,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return pd.DataFrame(rows, columns=["child", "fk_column", "parent", "parent_column"])
 
+    def kmeans_embeddings(sf):
+        # iterative (Lloyd's) -> rows-only driver check; parity/purity are
+        # pytest-verified (test_kmeans_*)
+        from rayquality.ops.cluster import kmeans
+
+        (emb,) = _tables(sf, "embeddings")
+        _cent, assign, _inertia = kmeans(emb, k=8, iters=5)
+        return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)[
+            ["vec_id", "cluster"]
+        ]
+
     def ann_cosine_topk(sf):
         (emb,) = _tables(sf, "embeddings")
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
@@ -248,6 +259,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak="o_orderkey",
         )
         return out.sort_values("event_id").reset_index(drop=True)
+
+    def range_join_cooccur_events(sf):
+        import pandas as pd
+        import pyarrow as pa
+
+        from rayquality.ops import asof
+
+        ev, ev2 = _tables(sf, "events", "events")
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.select(["event_id", "user_id", "ts"]).rename_columns(
+                ["event_id_b", "user_id", "ts_b"]
+            )
+
+        out = asof.range_join(
+            ev,
+            ev2.map_batches(rename, batch_format="pyarrow"),
+            key_left="user_id",
+            key_right="user_id",
+            ts_left="ts",
+            ts_right="ts_b",
+            left_cols=["event_id", "user_id", "ts"],
+            right_cols=["event_id_b", "ts_b"],
+            before=pd.Timedelta(minutes=30),
+            after=pd.Timedelta(minutes=30),
+        )
+        out = out[out["event_id"] < out["event_id_b"]]
+        return out.sort_values(["event_id", "event_id_b"]).reset_index(drop=True)
 
     def sample_orders_mod(sf):
         from rayquality.ops import windows
@@ -423,11 +462,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_documents": dedup_embedding_documents,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "fk_discovery": fk_discovery,
+        "kmeans_embeddings": kmeans_embeddings,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "user_sessions": user_sessions,
         "sliding_window_events": sliding_window_events,
         "asof_last_order": asof_last_order,
+        "range_join_cooccur_events": range_join_cooccur_events,
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
         "top_customers_per_segment": top_customers_per_segment,
@@ -642,6 +683,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events e JOIN orders o "
             "    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
             "WHERE rn = 1 ORDER BY event_id"
+        ),
+        "range_join_cooccur_events": (
+            "SELECT a.event_id, a.user_id, a.ts, b.event_id AS event_id_b, b.ts AS ts_b "
+            "FROM events a JOIN events b ON b.user_id = a.user_id "
+            "AND b.ts >= a.ts - INTERVAL 30 MINUTE "
+            "AND b.ts <= a.ts + INTERVAL 30 MINUTE "
+            "WHERE a.event_id < b.event_id "
+            "ORDER BY a.event_id, b.event_id"
         ),
         "sample_orders_mod": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 0 "

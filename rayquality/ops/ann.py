@@ -148,7 +148,9 @@ def _hash_sample(ds: rd.Dataset, id_col: str, vec_col: str, target: int) -> pd.D
     )
     if not len(out):  # degenerate tiny input: fall back to whatever exists
         out = ds.select_columns([id_col, vec_col]).limit(target).to_pandas()
-    return out
+    # block arrival order is nondeterministic; pin row order so seeded
+    # sampling from this frame is reproducible run to run
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 def ivf_topk(

@@ -1,4 +1,5 @@
-"""Distributed as-of (temporal) join — a custom operator Ray Data lacks.
+"""Distributed as-of (temporal) join and range (interval) join — custom
+operators Ray Data lacks.
 
 Semantics: for every left row, attach the single right row with the same
 key and the greatest right-timestamp <= left-timestamp (ties broken by the
@@ -117,3 +118,94 @@ def asof_join(
         else:
             out[c] = out[c].astype(t.to_pandas_dtype())
     return out
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    before: "pd.Timedelta",
+    after: "pd.Timedelta",
+    n_parts: int = 32,
+) -> pd.DataFrame:
+    """Inner range (interval) join: every (left, right) pair with equal keys
+    and ``right_ts`` in ``[left_ts - before, left_ts + after]``.
+
+    Same partitioning contract as :func:`asof_join` — both sides reduce to
+    skinny tagged rows, one ``key % n_parts`` hash co-locates each key, and
+    every partition resolves its pairs with ONE vectorized pandas merge +
+    window filter (no per-key Python loops). Skew caveat (standard for
+    range joins): a single key's |L|x|R| equijoin fanout materializes
+    inside its partition before the window filter; with real clocks and a
+    narrow window the surviving fanout is small, but a pathological hot key
+    is the caller's responsibility (pre-bucket the key with a time floor if
+    needed).
+    """
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def _types_of(ds: rd.Dataset) -> dict[str, pa.DataType]:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        return {n: pa.from_numpy_dtype(t) for n, t in zip(base.names, base.types)}
+
+    _ARROW_TYPES = {**_types_of(right), **_types_of(left)}
+    _ARROW_TYPES = {c: _ARROW_TYPES[c] for c in all_cols}
+
+    def pack(side: int, key_col: str, ts_col: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out: dict[str, pa.Array | pa.ChunkedArray] = {
+                "part": pa.array((key % n_parts).astype(np.int64)),
+                "side": pa.array(np.full(len(key), side, dtype=np.int8)),
+                "__key": pa.array(key),
+                "__ts": t[ts_col].combine_chunks().cast(pa.timestamp("us")),
+            }
+            for c in all_cols:
+                out[c] = (
+                    t[c].combine_chunks()
+                    if c in cols
+                    else pa.nulls(len(key), _ARROW_TYPES[c])
+                )
+            return pa.table(out)
+
+        return fn
+
+    packed_l = left.select_columns(
+        list(dict.fromkeys([key_left, ts_left] + left_cols))
+    ).map_batches(pack(0, key_left, ts_left, left_cols), batch_format="pyarrow")
+    packed_r = right.select_columns(
+        list(dict.fromkeys([key_right, ts_right] + right_cols))
+    ).map_batches(pack(1, key_right, ts_right, right_cols), batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g["side"] == 0]
+        R = g[g["side"] == 1]
+        if not len(L) or not len(R):
+            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in all_cols})
+        merged = L[["__key", "__ts"] + left_cols].merge(
+            R[["__key", "__ts"] + right_cols], on="__key", suffixes=("", "__r")
+        )
+        rt = merged["__ts__r"]
+        lt = merged["__ts"]
+        keep = (rt >= lt - before) & (rt <= lt + after)
+        return merged[keep][all_cols]
+
+    out = (
+        packed_l.union(packed_r)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in all_cols:
+        t = _ARROW_TYPES[c]
+        if pa.types.is_timestamp(t):
+            out[c] = out[c].astype(f"datetime64[{t.unit}]")
+        else:
+            out[c] = out[c].astype(t.to_pandas_dtype())
+    return out.reset_index(drop=True)

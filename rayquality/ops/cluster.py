@@ -1,0 +1,135 @@
+"""Distributed Lloyd's k-means over an embedding column — the clustering
+primitive of semantic data-curation pipelines (cluster-then-dedup /
+cluster-balanced sampling, e.g. SemDeDup, Abbas et al. 2023,
+arXiv:2303.09540).
+
+Scale shape per iteration: centroids broadcast once (``ray.put``), each
+batch does ONE matmul assignment + per-cluster partial (count, vector sum)
+— k skinny rows per batch — and a tree-merge stage collapses partials
+before the driver update, so driver traffic is O(k x n_batches / 512) and
+nothing wide ever shuffles. Iterative, hence no SQL oracle (driver gate
+runs the rows-only check); correctness is pytest-verified against a naive
+single-process Lloyd's from the same init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        return flat.reshape(len(arr), -1)
+    # Ray tensor extension arrays (from_pandas ndarray columns) and friends
+    return np.stack(arr.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def kmeans(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> tuple[np.ndarray, rd.Dataset, float]:
+    """Lloyd's k-means -> (centroids [k, dim], assignments Dataset
+    (id, cluster, dist2), final inertia).
+
+    Init is a seeded choice from a partitioning-independent hash sample
+    (``ops.ann._hash_sample`` — never a ``limit()`` prefix). An empty
+    cluster keeps its previous centroid. The assignments Dataset is lazy —
+    at corpus scale it is written/joined downstream, never collected.
+    """
+    from .ann import _hash_sample
+
+    sample = _hash_sample(ds, id_col, vec_col, max(4096, 4 * k))
+    smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(smat), size=min(k, len(smat)), replace=False)
+    cent = smat[np.sort(idx)].copy()
+    kk, dim = cent.shape
+
+    def make_partial(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _mat(t[vec_col])
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, dim), np.float64)
+            np.add.at(sums, a, mat)
+            sse = float(d2[np.arange(len(a)), a].sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1)), dim
+                    ),
+                    "sse": pa.array(np.full(kk, sse / kk, np.float64)),
+                }
+            )
+
+        return partial
+
+    def merge(t: pa.Table) -> pa.Table:
+        a = t["cluster"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(a, weights=t["cnt"].to_numpy(zero_copy_only=False), minlength=kk)
+        sums = np.zeros((kk, dim), np.float64)
+        np.add.at(sums, a, _mat(t["vsum"]))
+        sse = np.zeros(kk, np.float64)
+        np.add.at(sse, a, t["sse"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "vsum": pa.FixedSizeListArray.from_arrays(pa.array(sums.reshape(-1)), dim),
+                "sse": pa.array(sse),
+            }
+        )
+
+    inertia = float("nan")
+    skinny = ds.select_columns([id_col, vec_col])
+    for _ in range(iters):
+        cref = ray.put(cent)
+        parts = (
+            skinny.map_batches(make_partial(cref), batch_format="pyarrow")
+            .map_batches(merge, batch_size=512, batch_format="pyarrow")
+            .to_pandas()
+        )
+        cnt = np.zeros(kk, np.int64)
+        sums = np.zeros((kk, dim), np.float64)
+        np.add.at(cnt, parts["cluster"].to_numpy(), parts["cnt"].to_numpy())
+        np.add.at(sums, parts["cluster"].to_numpy(), np.stack(parts["vsum"].to_numpy()))
+        inertia = float(parts["sse"].sum())
+        nz = cnt > 0
+        cent = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None], cent)
+
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _mat(t[vec_col])
+        d2 = (
+            (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+        )
+        a = d2.argmin(1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(d2[np.arange(len(a)), a]),
+            }
+        )
+
+    return cent, skinny.map_batches(assign, batch_format="pyarrow"), inertia

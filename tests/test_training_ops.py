@@ -244,3 +244,111 @@ def test_distinct_per_group(rd):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_naive_parity(rd):
+    from rayquality.ops.asof import range_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    ev2 = rd.read_parquet(f"{SF}/events.parquet")
+
+    import pyarrow as pa
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "ts"]).rename_columns(
+            ["event_id_b", "user_id", "ts_b"]
+        )
+
+    w = pd.Timedelta(minutes=30)
+    got = range_join(
+        ev,
+        ev2.map_batches(rename, batch_format="pyarrow"),
+        key_left="user_id",
+        key_right="user_id",
+        ts_left="ts",
+        ts_right="ts_b",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id_b", "ts_b"],
+        before=w,
+        after=w,
+    )
+    got = (
+        got[got["event_id"] < got["event_id_b"]]
+        .sort_values(["event_id", "event_id_b"])
+        .reset_index(drop=True)
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "user_id", "ts"]]
+    m = pdf.merge(pdf, on="user_id", suffixes=("", "_b"))
+    m = m[
+        (m["event_id"] < m["event_id_b"])
+        & (m["ts_b"] >= m["ts"] - w)
+        & (m["ts_b"] <= m["ts"] + w)
+    ]
+    want = (
+        m.sort_values(["event_id", "event_id_b"])
+        .reset_index(drop=True)[["event_id", "user_id", "ts", "event_id_b", "ts_b"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_kmeans_naive_parity_and_purity(rd):
+    from rayquality.ops.ann import _hash_sample
+    from rayquality.ops.cluster import kmeans
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    k, iters, seed = 10, 10, 13
+    cent, assign_ds, inertia = kmeans(ds, k=k, iters=iters, seed=seed)
+    got = assign_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # naive single-process Lloyd's from the SAME init
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    sample = _hash_sample(ds, "vec_id", "embedding", max(4096, 4 * k))
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(smat), size=min(k, len(smat)), replace=False)
+    c = smat[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ c.T + (c * c).sum(1)[None, :]
+        a = d2.argmin(1)
+        for ci in range(k):
+            if (a == ci).any():
+                c[ci] = mat[a == ci].mean(axis=0)
+    d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ c.T + (c * c).sum(1)[None, :]
+    want_a = d2.argmin(1)
+    want_inertia = float(d2[np.arange(len(want_a)), want_a].sum())
+
+    agree = (got["cluster"].to_numpy() == want_a).mean()
+    assert agree > 0.995, agree
+    # engine inertia is measured at iteration START (pre-final-update), so
+    # compare the final assignment inertia instead
+    final_inertia = float(got["dist2"].sum())
+    assert abs(final_inertia - want_inertia) / want_inertia < 1e-6
+
+    # (the testdata embeddings' labels are NOT geometric clusters — within-
+    # vs cross-label distances are equal — so purity is checked on a
+    # synthetic clustered corpus instead)
+
+
+def test_kmeans_recovers_planted_clusters(rd):
+    from rayquality.ops.cluster import kmeans
+
+    rng = np.random.default_rng(5)
+    k, n, dim = 6, 1200, 16
+    centers = 4.0 * rng.standard_normal((k, dim))
+    lab = np.arange(n) % k
+    mat = centers[lab] + 0.3 * rng.standard_normal((n, dim))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(mat.astype(np.float32))}
+    )
+    _cent, ads, _inertia = kmeans(
+        rd.from_pandas(df).repartition(6), k=k, iters=8, seed=3
+    )
+    got = ads.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    merged = pd.DataFrame({"cluster": got["cluster"], "label": lab})
+    purity = (
+        merged.groupby("cluster")["label"].agg(lambda s: s.value_counts().iloc[0]).sum()
+    ) / n
+    assert purity > 0.95, purity
