@@ -223,6 +223,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["vec_id", "cluster"]
         ]
 
+    def semantic_dedup_embeddings(sf):
+        # cluster-then-dedup composition (kmeans inside) -> rows-only check
+        from rayquality.ops.cluster import semantic_dedup
+
+        (emb,) = _tables(sf, "embeddings")
+        out = semantic_dedup(emb, k=8, iters=5, threshold=0.42)
+        return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
     def ann_cosine_topk(sf):
         (emb,) = _tables(sf, "embeddings")
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
@@ -463,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "fk_discovery": fk_discovery,
         "kmeans_embeddings": kmeans_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "user_sessions": user_sessions,

@@ -133,3 +133,69 @@ def kmeans(
         )
 
     return cent, skinny.map_batches(assign, batch_format="pyarrow"), inertia
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> rd.Dataset:
+    """Cluster-then-dedup (SemDeDup, Abbas et al. 2023): k-means partitions
+    the corpus, then each cluster resolves cosine near-duplicates LOCALLY —
+    pairwise work drops from O(N^2) to sum_c O(|c|^2), the standard
+    semantic-dedup scale trick.
+
+    Returns a lazy Dataset (id, cluster, keep): within a cluster, rows
+    whose cosine similarity reaches ``threshold`` form components and only
+    the min-id row of each component keeps. Approximate by design: a
+    near-dup pair assigned to different clusters is not compared (tight
+    duplicates co-assign in practice; raise k for speed, lower it for
+    recall). Partitioning contract: one cluster's vectors fit one worker —
+    size k so N/k stays in-memory, same as the per-cell IVF contract.
+    """
+    cent, _assign, _inertia = kmeans(ds, k, iters, id_col, vec_col, seed)
+    cref = ray.put(cent)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _mat(t[vec_col])
+        d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(d2.argmin(1).astype(np.int64)),
+                vec_col: t[vec_col],
+            }
+        )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        adj = (nm @ nm.T) >= threshold  # includes the diagonal
+        lab = np.arange(len(ids))
+        while True:  # min-label propagation; converges in O(component diameter)
+            new = np.where(adj, lab[None, :], len(ids)).min(axis=1)
+            if (new == lab).all():
+                break
+            lab = new
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": g["cluster"].to_numpy()[order],
+                "keep": lab == np.arange(len(ids)),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )

@@ -352,3 +352,39 @@ def test_kmeans_recovers_planted_clusters(rd):
         merged.groupby("cluster")["label"].agg(lambda s: s.value_counts().iloc[0]).sum()
     ) / n
     assert purity > 0.95, purity
+
+
+def test_semantic_dedup_planted(rd):
+    from rayquality.ops.cluster import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    k, n, dim = 5, 600, 16
+    centers = 5.0 * rng.standard_normal((k, dim))
+    lab = np.arange(n) % k
+    # noise wide enough that natural same-cluster rows stay below the
+    # 0.999 cosine threshold; only the planted dups cross it
+    mat = centers[lab] + 1.5 * rng.standard_normal((n, dim))
+    # plant 50 tight near-duplicates of rows 0..49 as ids 1000..1049
+    dup_src = np.arange(50)
+    dups = mat[dup_src] * 1.0001
+    ids = np.concatenate([np.arange(n), 1000 + dup_src])
+    allmat = np.concatenate([mat, dups])
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(allmat.astype(np.float32))})
+
+    out = (
+        semantic_dedup(
+            rd.from_pandas(df).repartition(5), k=k, iters=6, threshold=0.999, seed=3
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n + 50
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    # every planted duplicate loses to its (lower-id) source
+    assert all(not keep[1000 + i] for i in dup_src), "dups must drop"
+    assert all(keep[i] for i in dup_src), "sources must keep"
+    # non-duplicated rows keep (no false positives at this threshold)
+    others = [i for i in range(50, n)]
+    kept_frac = np.mean([keep[i] for i in others])
+    assert kept_frac > 0.99, kept_frac
