@@ -239,6 +239,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return ann.ivf_topk(emb, query_ids=list(range(10)), k=5)
 
+    def ann_ivf_index_topk(sf):
+        # persisted cell-partitioned index: build under /tmp, search reads
+        # only probed cell dirs (rows-only: approximate by design)
+        import numpy as np
+        import pandas as pd
+
+        from rayquality.ops.ann import ivf_build_index, ivf_search_index
+
+        (emb,) = _tables(sf, "embeddings")
+        path = f"/tmp/rayquality_ivf_idx_{_sf_of(sf)}"
+        ivf_build_index(emb, path, n_cells=8)
+        pdf = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        qdf = pdf[pdf["vec_id"] < 10].sort_values("vec_id")
+        return ivf_search_index(
+            path,
+            qdf["vec_id"].to_numpy(),
+            np.stack(qdf["embedding"].to_numpy()),
+            k=5,
+            n_probe=3,
+        )
+
     def user_sessions(sf):
         from rayquality.ops import windows
 
@@ -474,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_index_topk": ann_ivf_index_topk,
         "user_sessions": user_sessions,
         "sliding_window_events": sliding_window_events,
         "asof_last_order": asof_last_order,

@@ -173,12 +173,40 @@ def _ann_bench(sf: float) -> dict:
     t0 = time.time()
     ann.ivf_topk(ds, qids, k=10, n_cells=n_cells, n_probe=8)
     ivf = time.time() - t0
+    # persisted cell-partitioned index: one-off build, then IO-pruned search
+    idx_path = f"/tmp/rayquality_ivfidx_bench/n{n}"
+    t0 = time.time()
+    ann.ivf_build_index(ds, idx_path, n_cells=n_cells)
+    build = time.time() - t0
+    qid_arr = np.asarray(qids)
+
+    def only_q(t):
+        return t.filter(pa.array(np.isin(t["vec_id"].to_numpy(), qid_arr)))
+
+    qdf = (
+        rd.read_parquet(sorted(glob_mod.glob(os.path.join(path, "*.parquet"))))
+        .map_batches(only_q, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t0 = time.time()
+    ann.ivf_search_index(
+        idx_path,
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=10,
+        n_probe=8,
+    )
+    ivf_idx = time.time() - t0
     return {
         "n_vectors": n,
         "n_queries": len(qids),
         "brute_sec": round(brute, 3),
         "ivf_sec": round(ivf, 3),
         "speedup": round(brute / ivf, 2),
+        "index_build_sec": round(build, 3),
+        "index_search_sec": round(ivf_idx, 3),
+        "index_speedup_vs_brute": round(brute / ivf_idx, 2),
     }
 
 

@@ -388,3 +388,36 @@ def test_semantic_dedup_planted(rd):
     others = [i for i in range(50, n)]
     kept_frac = np.mean([keep[i] for i in others])
     assert kept_frac > 0.99, kept_frac
+
+
+def test_ivf_persisted_index_matches_instream(rd, tmp_path):
+    from rayquality.ops.ann import ivf_build_index, ivf_search_index, ivf_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    want = ivf_topk(ds, query_ids=list(range(10)), k=5, n_cells=8, n_probe=3)
+
+    idx_path = str(tmp_path / "ivf_idx")
+    meta = ivf_build_index(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), idx_path, n_cells=8
+    )
+    assert meta["n_cells"] == 8
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    qdf = pdf[pdf["vec_id"] < 10].sort_values("vec_id")
+    got = ivf_search_index(
+        idx_path,
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=5,
+        n_probe=3,
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+    # the index really is cell-partitioned on disk
+    import glob
+
+    dirs = sorted(glob.glob(idx_path + "/cell=*"))
+    assert len(dirs) == 8, dirs
