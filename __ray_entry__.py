@@ -333,6 +333,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders, customer = _tables(sf, "orders", "customer")
         return relational.revenue_by_segment(orders, customer)
 
+    def broadcast_join_orders_segment(sf):
+        orders, customer = _tables(sf, "orders", "customer")
+        out = relational.broadcast_join(
+            orders.select_columns(["o_orderkey", "o_custkey"]),
+            customer,
+            left_on="o_custkey",
+            right_on="c_custkey",
+            right_cols=["c_mktsegment"],
+        )
+        df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        return df[["o_orderkey", "o_custkey", "c_mktsegment"]]
+
+    def clean_orders(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import cleanse
+
+        (orders,) = _tables(sf, "orders")
+        cleaned = cleanse.clean_columns(
+            orders.select_columns(["o_orderkey", "o_totalprice", "o_orderpriority"]),
+            clips={"o_totalprice": (10_000.0, 200_000.0)},
+            str_norm=["o_orderpriority"],
+        )
+
+        def cents(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "price_cents": pc.cast(
+                        pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                    ),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+
+        return (
+            cleaned.map_batches(cents, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+
     def top_customers_per_segment(sf):
         orders, customer = _tables(sf, "orders", "customer")
         return relational.top_customers_per_segment(orders, customer, k=3)
@@ -442,6 +485,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return exact_quantiles(li, "l_quantity", [0.25, 0.5, 0.75, 0.9, 0.99])
 
+    def approx_quantiles_price(sf):
+        # mergeable rank-compaction sketch (approximate) -> rows-only
+        from rayquality.ops.sketch import approx_quantiles
+
+        (li,) = _tables(sf, "lineitem")
+        return approx_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+
     def approx_distinct_orders(sf):
         from rayquality.ops.sketch import approx_distinct
 
@@ -503,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
         "top_customers_per_segment": top_customers_per_segment,
+        "broadcast_join_orders_segment": broadcast_join_orders_segment,
+        "clean_orders": clean_orders,
         "heavy_hitters_orders": heavy_hitters_orders,
         "heavy_hitters_exact_events": heavy_hitters_exact_events,
         "pii_scrub_documents": pii_scrub_documents,
@@ -515,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_lineitem_price": histogram_lineitem_price,
         "window_rank_events": window_rank_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
+        "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
         "quality_filter_images": _q_quality_filter,
@@ -733,6 +786,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "broadcast_join_orders_segment": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o_orderkey"
+        ),
+        "clean_orders": (
+            "SELECT o_orderkey, "
+            "CAST(ROUND(LEAST(GREATEST(o_totalprice, 10000.0), 200000.0) * 100) AS BIGINT) AS price_cents, "
+            "lower(trim(o_orderpriority)) AS o_orderpriority "
+            "FROM orders ORDER BY o_orderkey"
         ),
         "top_customers_per_segment": (
             "SELECT c_mktsegment, c_custkey, revenue_cents, rank FROM ("

@@ -360,3 +360,39 @@ def distinct_per_group(
     out = parts.groupby(group_col, as_index=False, dropna=False)["n_distinct"].sum()
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def broadcast_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> rd.Dataset:
+    """Generic broadcast (map-side) hash join: the small RIGHT side is
+    collected once, ``ray.put`` into the object store, and every left batch
+    resolves its matches with one vectorized pandas merge — the big side
+    never shuffles. ``how`` is 'inner' or 'left'.
+
+    This is the public form of the pattern the bespoke queries use
+    (top_customers_by_revenue, integrity); use it when the right side fits
+    comfortably in worker memory (dimension tables, lookup maps). For two
+    big sides use ``Dataset.join`` (hash shuffle) as in revenue_by_segment.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    small = (
+        right.select_columns(list(dict.fromkeys([right_on] + right_cols)))
+        .to_pandas()
+        .drop_duplicates(subset=[right_on])
+    )
+    small_ref = ray.put(small)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(small_ref)
+        return df.merge(
+            s, left_on=left_on, right_on=right_on, how=how, suffixes=("", "__r")
+        )
+
+    return left.map_batches(per_batch, batch_format="pandas")

@@ -308,3 +308,72 @@ def heavy_hitters_exact(ds: rd.Dataset, column: str, k: int = 16) -> pd.DataFram
     return out.sort_values(["cnt", "value"], ascending=[False, True]).reset_index(
         drop=True
     )
+
+
+def _rank_compact(vals: np.ndarray, wts: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compact a weighted value multiset to <= m points at evenly spaced
+    cumulative-weight boundaries; kept points are REAL data values (like
+    quantile_disc) carrying their span's weight."""
+    if len(vals) <= m:
+        return vals, wts
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cw = np.cumsum(wts)
+    total = cw[-1]
+    bounds = total * (np.arange(1, m + 1) / m)
+    idx = np.clip(np.searchsorted(cw, bounds, side="left"), 0, len(vals) - 1)
+    idx = np.unique(idx)
+    cb = cw[idx]
+    w = np.diff(np.concatenate([[0.0], cb]))
+    keep = w > 0
+    return vals[idx][keep], w[keep]
+
+
+def approx_quantiles(
+    ds: rd.Dataset, column: str, qs: list[float], m: int = 1024
+) -> pd.DataFrame:
+    """Approximate quantiles for UNBOUNDED-cardinality columns — the
+    mergeable-sketch counterpart :func:`exact_quantiles`'s docstring points
+    to: each batch compacts its values to <= m rank-spaced points, a
+    tree-merge stage re-compacts groups of sketches, and the driver
+    resolves quantiles from one final <= m-point sketch. State is O(m)
+    everywhere regardless of row count or distinct values; returned values
+    are real data points. Rank error grows with merge depth
+    (~depth/m of total rank) — m=1024 over two levels keeps it well under
+    1% (test-asserted); use exact_quantiles when cardinality is bounded.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.drop_null(t[column].combine_chunks())
+        vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v, w = _rank_compact(vals, np.ones(len(vals)), m)
+        return pa.table({"value": pa.array(v), "weight": pa.array(w)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        v, w = _rank_compact(
+            t["value"].to_numpy(zero_copy_only=False),
+            t["weight"].to_numpy(zero_copy_only=False),
+            m,
+        )
+        return pa.table({"value": pa.array(v), "weight": pa.array(w)})
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(merge, batch_size=64 * m, batch_format="pyarrow")
+        .to_pandas()
+    )
+    v, w = _rank_compact(
+        parts["value"].to_numpy(np.float64), parts["weight"].to_numpy(np.float64), m
+    )
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1] if len(cw) else 0.0
+    out_v = []
+    for q in qs:
+        pos = int(np.clip(np.searchsorted(cw, q * total, side="left"), 0, len(v) - 1))
+        out_v.append(v[pos])
+    return pd.DataFrame({"q": np.asarray(qs, np.float64), "value": out_v})

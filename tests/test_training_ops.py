@@ -421,3 +421,74 @@ def test_ivf_persisted_index_matches_instream(rd, tmp_path):
 
     dirs = sorted(glob.glob(idx_path + "/cell=*"))
     assert len(dirs) == 8, dirs
+
+
+def test_approx_quantiles_error_bound(rd):
+    from rayquality.ops.sketch import approx_quantiles
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = approx_quantiles(li, "l_extendedprice", qs, m=512)
+
+    vals = np.sort(
+        pd.read_parquet(f"{SF}/lineitem.parquet")["l_extendedprice"].to_numpy(np.float64)
+    )
+    n = len(vals)
+    for q, v in zip(got["q"], got["value"]):
+        # the sketch's rank error must be under 1% of total rank
+        rank = np.searchsorted(vals, v, side="left")
+        assert abs(rank - q * n) / n < 0.01, (q, v, rank / n)
+        assert v in vals  # returned values are REAL data points
+
+
+def test_broadcast_join_op(rd):
+    from rayquality.ops.relational import broadcast_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    customer = rd.read_parquet(f"{SF}/customer.parquet")
+    out = (
+        broadcast_join(
+            orders.select_columns(["o_orderkey", "o_custkey"]),
+            customer,
+            left_on="o_custkey",
+            right_on="c_custkey",
+            right_cols=["c_mktsegment"],
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    c = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    want = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_clean_columns(rd):
+    from rayquality.ops.cleanse import clean_columns
+
+    df = pd.DataFrame(
+        {
+            "a": [1.0, None, 50.0, 200.0],
+            "s": ["  Hi ", "LOW", None, "ok"],
+            "keep": [1, 2, 3, 4],
+        }
+    )
+    out = (
+        clean_columns(
+            rd.from_pandas(df).repartition(2),
+            fills={"a": 0.0, "s": "?"},
+            clips={"a": (0.0, 100.0)},
+            str_norm=["s"],
+        )
+        .to_pandas()
+        .sort_values("keep")
+        .reset_index(drop=True)
+    )
+    assert out["a"].tolist() == [1.0, 0.0, 50.0, 100.0]
+    assert out["s"].tolist() == ["hi", "low", "?", "ok"]
+    assert out["keep"].tolist() == [1, 2, 3, 4]
