@@ -109,15 +109,25 @@ def asof_join(
         .map_groups(per_part, batch_format="pandas")
         .to_pandas()
     )
-    # the union carries nulls on the off-side columns, so pandas upcasts
-    # ints to float64 end-to-end; restore every column's source dtype
+    return _restore_dtypes(out, all_cols, _ARROW_TYPES)
+
+
+def _restore_dtypes(
+    out: pd.DataFrame, all_cols: list[str], arrow_types: dict[str, pa.DataType]
+) -> pd.DataFrame:
+    """The side-tagged union carries nulls on the off-side columns, so
+    pandas upcasts ints to float64 end-to-end; restore every column's
+    source dtype. A fully-empty result (no matches anywhere) arrives
+    column-less — rebuild the typed empty frame."""
+    if out.empty and list(out.columns) != all_cols:
+        out = pd.DataFrame({c: pd.Series([], dtype=object) for c in all_cols})
     for c in all_cols:
-        t = _ARROW_TYPES[c]
+        t = arrow_types[c]
         if pa.types.is_timestamp(t):
             out[c] = out[c].astype(f"datetime64[{t.unit}]")
         else:
             out[c] = out[c].astype(t.to_pandas_dtype())
-    return out
+    return out[all_cols]
 
 
 def range_join(
@@ -202,10 +212,4 @@ def range_join(
         .map_groups(per_part, batch_format="pandas")
         .to_pandas()
     )
-    for c in all_cols:
-        t = _ARROW_TYPES[c]
-        if pa.types.is_timestamp(t):
-            out[c] = out[c].astype(f"datetime64[{t.unit}]")
-        else:
-            out[c] = out[c].astype(t.to_pandas_dtype())
-    return out.reset_index(drop=True)
+    return _restore_dtypes(out, all_cols, _ARROW_TYPES).reset_index(drop=True)

@@ -492,3 +492,27 @@ def test_clean_columns(rd):
     assert out["a"].tolist() == [1.0, 0.0, 50.0, 100.0]
     assert out["s"].tolist() == ["hi", "low", "?", "ok"]
     assert out["keep"].tolist() == [1, 2, 3, 4]
+
+
+def test_range_join_empty_result(rd):
+    """A window that matches nothing must return a typed empty frame, not
+    crash (events are 2024, orders 1995-2001: zero temporal overlap)."""
+    from rayquality.ops.asof import range_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    out = range_join(
+        ev,
+        orders,
+        key_left="user_id",
+        key_right="o_custkey",
+        ts_left="ts",
+        ts_right="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate"],
+        before=pd.Timedelta(days=1),
+        after=pd.Timedelta(days=1),
+    )
+    assert len(out) == 0
+    assert list(out.columns) == ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]
+    assert out["event_id"].dtype == np.int64
