@@ -443,6 +443,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = textops.pack_sequences(docs, capacity=512).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_quality_filter(sf):
+        import glob as _g
+
+        from rayquality.textpipe import DocRunConfig, run_documents
+
+        out = f"/tmp/rayquality_docq_{_sf_of(sf)}"
+        summary = run_documents(
+            os.path.join(sf, "documents.parquet"), DocRunConfig(output_dir=out)
+        )
+        df = rd.read_parquet(
+            sorted(_g.glob(os.path.join(summary["final_dir"], "*.parquet")))
+        ).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -561,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_documents": dedup_clusters_documents,
         "stratified_sample_orders": stratified_sample_orders,
         "pack_sequences_documents": pack_sequences_documents,
+        "doc_quality_filter": doc_quality_filter,
         "mixture_by_lang_documents": mixture_by_lang_documents,
         "json_field_sum_events": json_field_sum_events,
         "distinct_users_per_event_type": distinct_users_per_event_type,

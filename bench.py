@@ -105,6 +105,15 @@ def run_bench() -> dict:
         "window_rank_events",
         "stratified_sample_orders",
         "heavy_hitters_exact_events",
+        "range_join_cooccur_events",
+        "distinct_users_per_event_type",
+        "histogram_lineitem_price",
+        "json_field_sum_events",
+        "broadcast_join_orders_segment",
+        "clean_orders",
+        "dedup_clusters_documents",
+        "kmeans_embeddings",
+        "semantic_dedup_embeddings",
     ):
         t = time.time()
         res = qs[name](sf_dir)

@@ -87,6 +87,21 @@ def cmd_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_filter_docs(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    from .textpipe import DocRunConfig, run_documents
+
+    cfg = DocRunConfig(
+        output_dir=args.output_dir,
+        min_tokens=args.min_tokens,
+        max_ppl=args.max_ppl,
+        write_kept=not args.no_kept,
+    )
+    summary = run_documents(args.path, cfg)
+    print(json.dumps(summary, indent=1))
+    return 0
+
+
 def cmd_list_tables(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq
 
@@ -141,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--no-resume", action="store_true")
     f.add_argument("--no-kept", action="store_true")
     f.set_defaults(fn=cmd_filter)
+
+    fd = sub.add_parser("filter-docs", help="run the document quality-filter pipeline")
+    fd.add_argument("path", help="documents parquet file or directory")
+    fd.add_argument("--output-dir", default="/tmp/rayquality_docq_out")
+    fd.add_argument("--min-tokens", type=int, default=5)
+    fd.add_argument("--max-ppl", type=float, default=70.0)
+    fd.add_argument("--no-kept", action="store_true")
+    fd.set_defaults(fn=cmd_filter_docs)
 
     lt = sub.add_parser("list-tables", help="list parquet tables by row count")
     lt.add_argument("dir")

@@ -516,3 +516,64 @@ def test_range_join_empty_result(rd):
     assert len(out) == 0
     assert list(out.columns) == ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]
     assert out["event_id"].dtype == np.int64
+
+
+def test_document_pipeline_e2e(rd, tmp_path):
+    """Document quality filter: verdict flags must equal a naive
+    recomputation from the same kernels/models on the same inputs."""
+    from rayquality.models import langid, perplexity
+    from rayquality.ops import textdedup
+    from rayquality.scrub import scrub_series
+    from rayquality.textpipe import DocRunConfig, run_documents
+
+    out_dir = str(tmp_path / "docrun")
+    cfg = DocRunConfig(output_dir=out_dir, min_tokens=12, max_ppl=70.0)
+    summary = run_documents(f"{SF}/documents.parquet", cfg)
+    assert summary["total"] == 500
+    assert 0 < summary["kept"] <= 500
+
+    import glob
+
+    got = (
+        pd.concat(
+            [pd.read_parquet(f) for f in sorted(glob.glob(out_dir + "/final/*.parquet"))]
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    texts = pdf["text"].tolist()
+    scrubbed, _ = scrub_series(pd.Series(texts))
+    n_tok = pd.Series(texts).str.count(r"\S+").to_numpy()
+    n_alpha = pd.Series(texts).str.count("[a-zA-Z]").to_numpy()
+    n_chars = pd.Series(texts).str.len().to_numpy()
+    alpha_ratio = n_alpha / np.maximum(n_chars, 1)
+    ppl = perplexity.get_model().perplexity(texts)
+    drop = (
+        (n_tok < cfg.min_tokens)
+        | (alpha_ratio < cfg.min_alpha_ratio)
+        | (ppl > cfg.max_ppl)
+    )
+    # dedup flags recomputed from the shared kernels
+    sc_df = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "text": scrubbed})
+    win = set(
+        sc_df.groupby("text")["doc_id"].min().tolist()
+    )
+    drop |= ~pdf["doc_id"].isin(win).to_numpy()
+    scored_ds = rd.from_pandas(sc_df)
+    pairs = textdedup.minhash_lsh_pairs(scored_ds, threshold=cfg.near_dup_threshold)
+    if len(pairs):
+        both = pairs["id_a"].isin(win) & pairs["id_b"].isin(win)
+        losers = set(np.maximum(pairs.loc[both, "id_a"], pairs.loc[both, "id_b"]).tolist())
+        drop |= pdf["doc_id"].isin(losers).to_numpy()
+
+    assert (got["keep"].to_numpy() == ~drop).all()
+    assert summary["kept"] == int((~drop).sum())
+    # kept corpus carries the SCRUBBED text
+    kept = pd.concat(
+        [pd.read_parquet(f) for f in sorted(glob.glob(out_dir + "/kept/*.parquet"))]
+    ).sort_values("doc_id")
+    want_kept = sc_df[~drop].sort_values("doc_id")
+    assert kept["doc_id"].tolist() == want_kept["doc_id"].tolist()
+    assert kept["text"].tolist() == want_kept["text"].tolist()
