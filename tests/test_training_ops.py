@@ -577,3 +577,29 @@ def test_document_pipeline_e2e(rd, tmp_path):
     want_kept = sc_df[~drop].sort_values("doc_id")
     assert kept["doc_id"].tolist() == want_kept["doc_id"].tolist()
     assert kept["text"].tolist() == want_kept["text"].tolist()
+
+
+def test_repeat_run_determinism(rd):
+    """Distributed results must not depend on block arrival order: the
+    same call twice gives identical results (guards the _hash_sample
+    ordering bug class)."""
+    from rayquality.ops.cluster import kmeans
+    from rayquality.ops.textdedup import minhash_lsh_pairs
+    from rayquality.ops.windows import stratified_sample
+
+    emb = f"{SF}/embeddings.parquet"
+    a1 = kmeans(rd.read_parquet(emb), k=6, iters=3)[1].to_pandas().sort_values("vec_id")
+    a2 = kmeans(rd.read_parquet(emb), k=6, iters=3)[1].to_pandas().sort_values("vec_id")
+    assert a1["cluster"].tolist() == a2["cluster"].tolist()
+
+    o = f"{SF}/orders.parquet"
+    s1 = stratified_sample(rd.read_parquet(o), "o_orderpriority", "o_orderkey", n=5)
+    s2 = stratified_sample(rd.read_parquet(o), "o_orderpriority", "o_orderkey", n=5)
+    pd.testing.assert_frame_equal(s1, s2)
+
+    d = f"{SF}/documents.parquet"
+    p1 = minhash_lsh_pairs(rd.read_parquet(d), threshold=0.5)
+    p2 = minhash_lsh_pairs(rd.read_parquet(d), threshold=0.5)
+    k1 = sorted(zip(p1["id_a"], p1["id_b"]))
+    k2 = sorted(zip(p2["id_a"], p2["id_b"]))
+    assert k1 == k2
