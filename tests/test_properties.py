@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the pure kernels — no Ray in the
+loop, so each property runs its full example budget in milliseconds."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_scrub_series_matches_scrub_text(texts):
+    from rayquality.scrub import scrub_series, scrub_text
+
+    out, hits = scrub_series(pd.Series(texts))
+    for t, s, h in zip(texts, out, hits):
+        ws, wh = scrub_text(t)
+        assert s == ws
+        assert h == wh
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400),
+    st.integers(8, 64),
+)
+def test_rank_compact_preserves_weight_and_bounds(vals, m):
+    from rayquality.ops.sketch import _rank_compact
+
+    v = np.asarray(vals, np.float64)
+    w = np.ones(len(v))
+    cv, cw = _rank_compact(v, w, m)
+    assert len(cv) <= m
+    assert np.isclose(cw.sum(), len(v))  # total weight preserved
+    assert (np.diff(np.sort(cv)) >= 0).all()
+    assert set(cv).issubset(set(v))  # kept points are real data values
+
+
+def _mg_compress(vals, cnts, k):
+    """The canonical Misra-Gries reduction (same arithmetic as the closure
+    inside ops.sketch.heavy_hitters: subtract the (k+1)-th largest count,
+    drop non-positive)."""
+    if len(vals) <= k:
+        return list(vals), cnts
+    order = np.argsort(-cnts, kind="stable")
+    cut = cnts[order[k]]
+    keep = order[:k]
+    newc = cnts[keep] - cut
+    pos = newc > 0
+    return [vals[i] for i in np.asarray(keep)[pos]], newc[pos]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=500),
+    st.integers(2, 8),
+)
+def test_misra_gries_guarantee(values, k):
+    """Any value with frequency > n/k must survive the k-counter
+    compression — the classic guarantee heavy_hitters_exact's verify pass
+    relies on — even after splitting into per-batch summaries and merging."""
+    vals = [str(v) for v in values]
+    n = len(vals)
+    # split into 3 "batches", compress each, merge, compress again (the
+    # exact dataflow of ops.sketch.heavy_hitters)
+    merged: dict[str, int] = {}
+    for chunk in np.array_split(np.asarray(vals, object), 3):
+        if not len(chunk):
+            continue
+        vc = pd.Series(chunk).value_counts()
+        cv, cc = _mg_compress(vc.index.tolist(), vc.to_numpy(np.int64), k)
+        for v, c in zip(cv, cc):
+            merged[v] = merged.get(v, 0) + int(c)
+    out_v, _out_c = _mg_compress(
+        list(merged), np.asarray(list(merged.values()), np.int64), k
+    )
+    vc_all = pd.Series(vals).value_counts()
+    for val, cnt in vc_all.items():
+        if cnt * k > n:
+            assert val in out_v, (val, cnt, n, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**12), min_size=1, max_size=2000),
+    st.integers(2, 5),
+)
+def test_hll_merge_equals_single_shot(values, n_splits):
+    """Merging per-split sketches must equal one sketch over everything
+    (the mergeability the tree-merge stage depends on)."""
+    from rayquality.ops.sketch import HllSketch
+
+    arr = np.asarray(values, np.int64)
+    whole = HllSketch(10)
+    whole.add(arr)
+    merged = HllSketch(10)
+    for chunk in np.array_split(arr, n_splits):
+        part = HllSketch(10)
+        if len(chunk):
+            part.add(chunk)
+        merged |= part
+    assert (whole.registers == merged.registers).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=200), st.integers(1, 500))
+def test_galloping_next_fit_matches_sequential(tokens, capacity):
+    """The searchsorted galloping walk in pack_sequences must equal the
+    sequential next-fit rule for any token sequence."""
+    tok = np.asarray(tokens, np.int64)
+    cum = np.cumsum(tok)
+    bins = np.empty(len(tok), np.int64)
+    i, b, base = 0, 0, 0
+    while i < len(tok):
+        j = int(np.searchsorted(cum, base + capacity, side="right"))
+        if j <= i:
+            j = i + 1
+        bins[i:j] = b
+        base = int(cum[j - 1])
+        i, b = j, b + 1
+
+    want = np.empty(len(tok), np.int64)
+    fill, cur = None, -1
+    for idx, t in enumerate(tok):
+        if fill is None or fill + t > capacity:
+            cur, fill = cur + 1, int(t)
+        else:
+            fill += int(t)
+        want[idx] = cur
+    assert (bins == want).all()
