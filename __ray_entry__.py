@@ -478,6 +478,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return relational.value_histogram(li, "l_extendedprice", 5000.0)
 
+    def running_total_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.running_total(ev, "user_id", "ts", "value", "event_id")
+        return (
+            out.to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "cum_cents"]]
+        )
+
     def distinct_users_per_event_type(sf):
         (ev,) = _tables(sf, "events")
         return relational.distinct_per_group(ev, "event_type", "user_id")
@@ -581,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": distinct_users_per_event_type,
         "histogram_lineitem_price": histogram_lineitem_price,
         "window_rank_events": window_rank_events,
+        "running_total_events": running_total_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
@@ -906,6 +918,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
             "  ORDER BY value DESC, event_id) AS BIGINT) AS rank "
+            "FROM events ORDER BY event_id"
+        ),
+        "running_total_events": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events ORDER BY event_id"
         ),
         "quantiles_lineitem_qty": (

@@ -224,6 +224,46 @@ def weighted_mixture(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def running_total(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    id_col: str,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-group running total — ``SUM(cents) OVER (PARTITION BY group
+    ORDER BY order_col, id ROWS UNBOUNDED PRECEDING)`` without a global
+    sort: group-hash partitions co-locate each window, one vectorized sort
+    + ``groupby.cumsum`` per partition. Values are summed in integer cents
+    so the cumulative sum is exact and order-independent across reruns.
+
+    Output: (id_col, group_col, cum_cents).
+    """
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        out = df[[group_col, order_col, id_col]].copy()
+        out["cents"] = (
+            np.round(df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
+        )
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col, id_col], kind="stable")
+        out = g[[id_col, group_col]].copy()
+        out["cum_cents"] = g.groupby(group_col)["cents"].cumsum().to_numpy(np.int64)
+        return out
+
+    return (
+        ds.select_columns([group_col, order_col, value_col, id_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def grouped_rank(
     ds: rd.Dataset,
     group_col: str,

@@ -603,3 +603,23 @@ def test_repeat_run_determinism(rd):
     k1 = sorted(zip(p1["id_a"], p1["id_b"]))
     k2 = sorted(zip(p2["id_a"], p2["id_b"]))
     assert k1 == k2
+
+
+def test_running_total(rd):
+    from rayquality.ops.windows import running_total
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        running_total(ev, "user_id", "ts", "value", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "cum_cents"]]
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["cents"] = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pdf["cum_cents"] = pdf.groupby("user_id")["cents"].cumsum()
+    want = pdf.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "cum_cents"]
+    ]
+    pd.testing.assert_frame_equal(got, want)
