@@ -478,6 +478,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return relational.value_histogram(li, "l_extendedprice", 5000.0)
 
+    def dataset_split_orders(sf):
+        from rayquality.ops import windows
+
+        (orders,) = _tables(sf, "orders")
+        out = windows.dataset_split(
+            orders.select_columns(["o_orderkey"]),
+            "o_orderkey",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+    def pivot_events_by_type(sf):
+        (ev,) = _tables(sf, "events")
+        out = relational.pivot_counts(
+            ev, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+        )
+        return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
     def running_total_events(sf):
         from rayquality.ops import windows
 
@@ -593,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_lineitem_price": histogram_lineitem_price,
         "window_rank_events": window_rank_events,
         "running_total_events": running_total_events,
+        "dataset_split_orders": dataset_split_orders,
+        "pivot_events_by_type": pivot_events_by_type,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
@@ -926,6 +946,23 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY user_id ORDER BY ts, event_id "
             "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events ORDER BY event_id"
+        ),
+        "dataset_split_orders": (
+            "SELECT o_orderkey, CASE "
+            "WHEN (o_orderkey * 2654435761) % 4294967296 % 10000 < 8000 THEN 'train' "
+            "WHEN (o_orderkey * 2654435761) % 4294967296 % 10000 < 9000 THEN 'val' "
+            "ELSE 'test' END AS split FROM orders ORDER BY o_orderkey"
+        ),
+        "pivot_events_by_type": (
+            "SELECT user_id, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+            "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+            "CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN "
+            "  ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS other "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "quantiles_lineitem_qty": (
             "WITH a AS (SELECT quantile_disc(l_quantity, "

@@ -396,3 +396,43 @@ def broadcast_join(
         )
 
     return left.map_batches(per_batch, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    group_col: str,
+    pivot_col: str,
+    categories: list[str],
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Pivot long->wide: one row per group with a count column per
+    category (the one-hot/crosstab feature builder for ML tables).
+
+    Categories are EXPLICIT (fixed output schema — at corpus scale you
+    never want a schema inferred from a full distinct scan); values outside
+    the list land in ``other``. Per-batch crosstab partials combine through
+    the hash-partition kernel, so the shuffle carries one row per (group,
+    batch) at most. SQL: SUM(CASE WHEN pivot = c THEN 1 ELSE 0 END) per c.
+    """
+    cats = list(categories)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pv = df[pivot_col].to_numpy(object)
+        out = pd.DataFrame({group_col: df[group_col]})
+        known = np.zeros(len(df), dtype=bool)
+        for c in cats:
+            m = pv == c
+            out[c] = m.astype(np.int64)
+            known |= m
+        out["other"] = (~known).astype(np.int64)
+        return out.groupby(group_col, as_index=False).sum()
+
+    from .combine import combine_partials
+
+    return combine_partials(
+        ds.select_columns([group_col, pivot_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=[group_col],
+        sums=cats + ["other"],
+    )

@@ -264,6 +264,33 @@ def running_total(
     )
 
 
+def dataset_split(
+    ds: rd.Dataset, key_col: str, fractions: dict[str, float]
+) -> rd.Dataset:
+    """Deterministic train/val/test split: each row gets a split label from
+    its key's hash position in [0, 1) against the cumulative fraction
+    ranges. A pure per-row function — reproducible, partitioning-
+    independent, no shuffle, and SQL-checkable (CASE over hash ranges);
+    the standard replacement for RNG splits in a resumable pipeline.
+
+    ``fractions`` preserve insertion order; they must sum to <= 1.0 and
+    any remainder falls into the LAST label's range.
+    """
+    labels = list(fractions)
+    cuts = np.cumsum([fractions[k] for k in labels]) * 10000.0
+    cuts[-1] = 10000.0  # remainder to the last label
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy(np.int64).astype(np.uint64)
+        h = ((k * _KNUTH) % _H32 % np.uint64(10000)).astype(np.float64)
+        idx = np.searchsorted(cuts, h, side="right")
+        out = df.copy()
+        out["split"] = np.asarray(labels, object)[np.minimum(idx, len(labels) - 1)]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def grouped_rank(
     ds: rd.Dataset,
     group_col: str,

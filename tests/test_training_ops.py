@@ -623,3 +623,64 @@ def test_running_total(rd):
         ["event_id", "user_id", "cum_cents"]
     ]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dataset_split(rd):
+    from rayquality.ops.windows import dataset_split
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    out = (
+        dataset_split(
+            orders.select_columns(["o_orderkey"]),
+            "o_orderkey",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    n = len(out)
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac.get("val", 0) - 0.1) < 0.04
+    assert abs(frac.get("test", 0) - 0.1) < 0.04
+    # deterministic: same key always lands in the same split
+    out2 = (
+        dataset_split(
+            rd.read_parquet(f"{SF}/orders.parquet").select_columns(["o_orderkey"]),
+            "o_orderkey",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert out["split"].tolist() == out2["split"].tolist()
+    assert n == len(out2)
+
+
+def test_pivot_counts(rd):
+    from rayquality.ops.relational import pivot_counts
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    cats = ["click", "view", "purchase"]
+    got = (
+        pivot_counts(ev, "user_id", "event_type", cats)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ct = pd.crosstab(pdf["user_id"], pdf["event_type"])
+    for c in cats:
+        assert got.set_index("user_id")[c].equals(
+            ct[c].reindex(got["user_id"]).fillna(0).astype(np.int64)
+        )
+    other_want = (
+        pdf[~pdf["event_type"].isin(cats)].groupby("user_id").size()
+    )
+    assert (
+        got.set_index("user_id")["other"]
+        .eq(other_want.reindex(got["user_id"].to_numpy()).fillna(0).astype(np.int64))
+        .all()
+    )
