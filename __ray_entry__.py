@@ -167,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (docs,) = _tables(sf, "documents")
         return text.fingerprints(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def tfidf_top_terms_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        out = text.tfidf_top_terms(docs, k=3)
+        return (
+            out.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        )
+
     def lang_ppl_documents(sf):
         (docs,) = _tables(sf, "documents")
         return text.lang_ppl(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -576,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_documents": token_counts_documents,
         "text_quality_documents": text_quality_documents,
         "fingerprint_documents": fingerprint_documents,
+        "tfidf_top_terms_documents": tfidf_top_terms_documents,
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -755,6 +763,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        # score quantized to integer micro-units on BOTH sides: a 1-ulp
+        # ln() divergence between numpy and DuckDB cannot flip a rounded
+        # value, so the hash comparison stays exact
+        "tfidf_top_terms_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "       WHERE term != '' GROUP BY 1, 2), "
+            "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+            "scored AS ("
+            "  SELECT t.doc_id, t.term, "
+            "    CAST(ROUND(t.tf * ln((SELECT COUNT(*) FROM documents) / "
+            "      CAST(d.df AS DOUBLE)) * 1000000) AS BIGINT) AS score_micro "
+            "  FROM tf t JOIN dfq d ON t.term = d.term), "
+            "ranked AS ("
+            "  SELECT doc_id, term, score_micro, "
+            "    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "      ORDER BY score_micro DESC, term) AS BIGINT) AS rank "
+            "  FROM scored) "
+            "SELECT doc_id, term, score_micro, rank FROM ranked "
+            "WHERE rank <= 3 ORDER BY doc_id, rank"
+        ),
         "dedup_exact_documents": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),

@@ -183,3 +183,85 @@ def lang_ppl(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> 
     return ds.select_columns([id_col, text_col]).map_batches(
         _LangPpl, batch_format="pyarrow", concurrency=(1, pool_size()), num_cpus=actor_cpus()
     )
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms — the keyword-extraction stage of a
+    text-curation pipeline, as a three-stage distributed plan:
+
+    1. explode: each doc row (complete within its batch) emits skinny
+       (id, term, tf) rows via one vectorized split+groupby per batch;
+       the exploded table is materialized once because stages 2 and 3
+       both consume it;
+    2. document frequency: per-batch term value-counts (rows are already
+       distinct per doc) -> hash-partition combine -> the idf table, which
+       is O(vocabulary) and broadcasts via ``ray.put`` (at extreme scale
+       swap for a term-hash join);
+    3. score + grouped top-k: score = tf * ln(N/df) quantized to integer
+       micro-units (ROUND(x*1e6) — keeps the DuckDB oracle hash-exact;
+       a 1-ulp ln() divergence cannot flip a micro-rounded value), then
+       doc-hash partitions rank and keep k terms per doc.
+
+    Output: (id, term, score_micro, rank).
+    """
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.split()
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        out = pd.DataFrame(
+            {id_col: df[id_col].reindex(flat.index).to_numpy(), "term": flat.to_numpy()}
+        )
+        g = out.groupby([id_col, "term"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    tf_ds = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pandas")
+        .materialize()
+    )
+    n_docs = ds.count()
+
+    def term_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(), "df": vc.to_numpy(np.int64)})
+
+    from .combine import combine_partials
+
+    dfs = combine_partials(
+        tf_ds.select_columns(["term"]).map_batches(term_partial, batch_format="pandas"),
+        keys=["term"],
+        sums=["df"],
+    ).to_pandas()
+    import ray
+
+    idf_ref = ray.put(dict(zip(dfs["term"], np.log(n_docs / dfs["df"].to_numpy(np.float64)))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        s = df["tf"].to_numpy(np.float64) * df["term"].map(idf).to_numpy(np.float64)
+        out = df[[id_col, "term"]].copy()
+        out["score_micro"] = np.round(s * 1e6).astype(np.int64)
+        hv = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy(np.uint64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "score_micro", "term"], ascending=[True, False, True], kind="stable"
+        )
+        g = g.groupby(id_col, as_index=False, sort=False).head(k).copy()
+        g["rank"] = (g.groupby(id_col).cumcount() + 1).astype(np.int64)
+        return g[[id_col, "term", "score_micro", "rank"]]
+
+    return (
+        tf_ds.map_batches(score, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

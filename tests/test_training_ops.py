@@ -684,3 +684,32 @@ def test_pivot_counts(rd):
         .eq(other_want.reindex(got["user_id"].to_numpy()).fillna(0).astype(np.int64))
         .all()
     )
+
+
+def test_tfidf_top_terms(rd):
+    from rayquality.ops.text import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    got = (
+        tfidf_top_terms(docs, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    toks = pdf.assign(term=pdf["text"].str.lower().str.split()).explode("term")
+    toks = toks[toks["term"].notna() & (toks["term"] != "")]
+    tf = toks.groupby(["doc_id", "term"], as_index=False).size().rename(columns={"size": "tf"})
+    dfq = tf.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+    n = len(pdf)
+    m = tf.merge(dfq, on="term")
+    m["score_micro"] = np.round(
+        m["tf"].to_numpy(np.float64) * np.log(n / m["df"].to_numpy(np.float64)) * 1e6
+    ).astype(np.int64)
+    m = m.sort_values(["doc_id", "score_micro", "term"], ascending=[True, False, True])
+    top = m.groupby("doc_id", as_index=False).head(3).copy()
+    top["rank"] = (top.groupby("doc_id").cumcount() + 1).astype(np.int64)
+    want = top.sort_values(["doc_id", "rank"]).reset_index(drop=True)[
+        ["doc_id", "term", "score_micro", "rank"]
+    ]
+    pd.testing.assert_frame_equal(got, want)
