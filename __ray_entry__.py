@@ -485,6 +485,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return relational.value_histogram(li, "l_extendedprice", 5000.0)
 
+    def lag_delta_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.lag_delta(ev, "user_id", "ts", "value", "event_id")
+        return (
+            out.to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
+        )
+
+    def cohort_retention_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        return windows.cohort_retention(ev)
+
     def dataset_split_orders(sf):
         from rayquality.ops import windows
 
@@ -621,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_events": running_total_events,
         "dataset_split_orders": dataset_split_orders,
         "pivot_events_by_type": pivot_events_by_type,
+        "lag_delta_events": lag_delta_events,
+        "cohort_retention_events": cohort_retention_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
@@ -977,6 +996,26 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY user_id ORDER BY ts, event_id "
             "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events ORDER BY event_id"
+        ),
+        "lag_delta_events": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(cents - COALESCE(LAG(cents) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id), cents) AS BIGINT) AS delta_cents "
+            "FROM c ORDER BY event_id"
+        ),
+        # integer week arithmetic ((us // day - 4) // 7, Monday-start) on
+        # BOTH sides: no float/timestamp-unit boundary risk
+        "cohort_retention_events": (
+            "WITH w AS (SELECT user_id, "
+            "  (epoch_us(ts) // 86400000000 - 4) // 7 AS wk FROM events), "
+            "c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1), "
+            "j AS (SELECT DISTINCT w.user_id, c.cohort, w.wk - c.cohort AS off "
+            "      FROM w JOIN c USING (user_id)) "
+            "SELECT cohort AS cohort_week, off AS offset_weeks, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM j GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "dataset_split_orders": (
             "SELECT o_orderkey, CASE "

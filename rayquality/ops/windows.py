@@ -264,6 +264,50 @@ def running_total(
     )
 
 
+def lag_delta(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    id_col: str,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-group first difference — ``cents - COALESCE(LAG(cents), cents)``
+    over (PARTITION BY group ORDER BY order, id): group-hash partitions,
+    one vectorized sort + ``groupby.shift`` per partition. The first row
+    of each group gets delta 0 (COALESCE with itself) so the output stays
+    non-nullable int64 (a nullable LAG would surface as float64 in pandas
+    and flip the driver's dtype-sensitive hash).
+
+    Output: (id_col, group_col, delta_cents).
+    """
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        out = df[[group_col, order_col, id_col]].copy()
+        out["cents"] = (
+            np.round(df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
+        )
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col, id_col], kind="stable")
+        prev = g.groupby(group_col)["cents"].shift(1)
+        out = g[[id_col, group_col]].copy()
+        out["delta_cents"] = (
+            g["cents"] - prev.fillna(g["cents"])
+        ).to_numpy(np.int64)
+        return out
+
+    return (
+        ds.select_columns([group_col, order_col, value_col, id_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def dataset_split(
     ds: rd.Dataset, key_col: str, fractions: dict[str, float]
 ) -> rd.Dataset:
@@ -330,3 +374,83 @@ def grouped_rank(
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def cohort_retention(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int = 64,
+) -> pd.DataFrame:
+    """Weekly cohort retention: users grouped by their FIRST active week
+    (Monday-start), counted distinctly at each week offset they return.
+
+    Week indexes are pure integer arithmetic (``(us // day - 4) // 7``) so
+    the engine and the SQL oracle can never disagree on a boundary. Three
+    skinny stages: per-batch (user, min-week) partials -> user-hash
+    partition min = the cohort table (O(users), broadcast via ``ray.put``;
+    a user-hash join at extreme scale); per-batch distinct (cohort,
+    offset, user) triples -> triple-hash partition dedup -> exact distinct
+    counts per (cohort, offset) (same two-level combine as
+    ``relational.distinct_per_group``).
+
+    Output: (cohort_week, offset_weeks, n_users).
+    """
+    import ray
+
+    def week_of(ts: pd.Series) -> np.ndarray:
+        us = ts.astype("datetime64[us]").to_numpy().view(np.int64)
+        return (us // _US_PER_DAY - 4) // 7
+
+    def min_week_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({user_col: df[user_col], "wk": week_of(df[ts_col])})
+        out = out.groupby(user_col, as_index=False)["wk"].min()
+        hv = pd.util.hash_pandas_object(out[user_col], index=False).to_numpy(np.uint64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(user_col, as_index=False)["wk"].min()
+
+    cohorts = (
+        events.select_columns([user_col, ts_col])
+        .map_batches(min_week_partial, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part_min, batch_format="pandas")
+        .to_pandas()
+    )
+    cohort_ref = ray.put(dict(zip(cohorts[user_col], cohorts["wk"])))
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cohort_ref)
+        wk = week_of(df[ts_col])
+        cohort = df[user_col].map(cmap).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "cohort_week": cohort,
+                "offset_weeks": wk - cohort,
+                user_col: df[user_col],
+            }
+        ).drop_duplicates()
+        hv = pd.util.hash_pandas_object(out, index=False).to_numpy(np.uint64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part_count(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["cohort_week", "offset_weeks", user_col]].drop_duplicates()
+        c = u.groupby(["cohort_week", "offset_weeks"], as_index=False).size()
+        return c.rename(columns={"size": "n_users"})
+
+    parts = (
+        events.select_columns([user_col, ts_col])
+        .map_batches(triples, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part_count, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_week", "offset_weeks"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_week", "offset_weeks"]).reset_index(drop=True)

@@ -713,3 +713,49 @@ def test_tfidf_top_terms(rd):
         ["doc_id", "term", "score_micro", "rank"]
     ]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_lag_delta(rd):
+    from rayquality.ops.windows import lag_delta
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        lag_delta(ev, "user_id", "ts", "value", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["cents"] = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    prev = pdf.groupby("user_id")["cents"].shift(1)
+    pdf["delta_cents"] = (pdf["cents"] - prev.fillna(pdf["cents"])).astype(np.int64)
+    want = pdf.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "delta_cents"]
+    ]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cohort_retention(rd):
+    from rayquality.ops.windows import cohort_retention
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = cohort_retention(ev)
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "ts"]]
+    us = pdf["ts"].astype("datetime64[us]").to_numpy().view(np.int64)
+    pdf["wk"] = (us // 86_400_000_000 - 4) // 7
+    cohort = pdf.groupby("user_id")["wk"].min()
+    pdf["cohort_week"] = pdf["user_id"].map(cohort)
+    pdf["offset_weeks"] = pdf["wk"] - pdf["cohort_week"]
+    want = (
+        pdf[["cohort_week", "offset_weeks", "user_id"]]
+        .drop_duplicates()
+        .groupby(["cohort_week", "offset_weeks"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort_week", "offset_weeks"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["offset_weeks"] >= 0).all()
