@@ -19,3 +19,6 @@ analyze-example:
 filter-example:
 	python -c "from rayquality import synth; print(synth.ensure_corpus(10_000))"
 	python -m rayquality.cli filter /tmp/rayquality_synth/n10000_s42
+
+filter-docs-example:
+	python -m rayquality.cli filter-docs /root/testdata/sf0.01/documents.parquet --output-dir /tmp/rayquality_docq_out
