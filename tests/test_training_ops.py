@@ -759,3 +759,31 @@ def test_cohort_retention(rd):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["offset_weeks"] >= 0).all()
+
+
+def test_broadcast_join_left(rd):
+    from rayquality.ops.relational import broadcast_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    right = pd.DataFrame({"rk": [1, 3], "name": ["a", "b"]})
+    out = (
+        broadcast_join(
+            rd.from_pandas(left).repartition(2),
+            rd.from_pandas(right),
+            left_on="k",
+            right_on="rk",
+            right_cols=["name"],
+            how="left",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert [x if pd.notna(x) else None for x in out["name"]] == ["a", None, "b", None]
+    assert len(out) == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        broadcast_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ["name"], how="outer"
+        )
