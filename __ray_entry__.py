@@ -340,6 +340,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders, customer = _tables(sf, "orders", "customer")
         return relational.revenue_by_segment(orders, customer)
 
+    def grouped_quantiles_qty(sf):
+        from rayquality.ops.sketch import grouped_quantiles
+
+        (li,) = _tables(sf, "lineitem")
+        return grouped_quantiles(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 0.9])
+
+    def customers_without_events(sf):
+        customer, ev = _tables(sf, "customer", "events")
+        out = relational.broadcast_anti_join(
+            customer.select_columns(["c_custkey", "c_name"]), ev, "c_custkey", "user_id"
+        )
+        return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
     def broadcast_join_orders_segment(sf):
         orders, customer = _tables(sf, "orders", "customer")
         out = relational.broadcast_join(
@@ -621,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
         "top_customers_per_segment": top_customers_per_segment,
+        "grouped_quantiles_qty": grouped_quantiles_qty,
+        "customers_without_events": customers_without_events,
         "broadcast_join_orders_segment": broadcast_join_orders_segment,
         "clean_orders": clean_orders,
         "heavy_hitters_orders": heavy_hitters_orders,
@@ -883,6 +898,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "grouped_quantiles_qty": (
+            "WITH a AS (SELECT l_returnflag, "
+            "  quantile_disc(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS vs "
+            "  FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, unnest([0.25, 0.5, 0.75, 0.9]) AS q, "
+            "unnest(vs) AS value FROM a ORDER BY l_returnflag, q"
+        ),
+        "customers_without_events": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey) "
+            "ORDER BY c_custkey"
         ),
         "broadcast_join_orders_segment": (
             "SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment FROM orders o "

@@ -436,3 +436,22 @@ def pivot_counts(
         keys=[group_col],
         sums=cats + ["other"],
     )
+
+
+def broadcast_anti_join(
+    left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str
+) -> rd.Dataset:
+    """Anti-join with a broadcast key set: keep left rows whose key has NO
+    match on the right (``NOT EXISTS``). The right side reduces to its
+    distinct keys (``ray.put`` once); every left batch filters with one
+    vectorized ``isin`` — nothing shuffles. The complement of the
+    membership test inside ``ops.validators.integrity``, exposed as a
+    first-class relational operator (e.g. "customers with no orders")."""
+    keys = right.select_columns([right_on]).unique(right_on)
+    keys_ref = ray.put(np.asarray(keys))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        return df[~df[left_on].isin(ks)]
+
+    return left.map_batches(fn, batch_format="pandas")

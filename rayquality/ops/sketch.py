@@ -377,3 +377,64 @@ def approx_quantiles(
         pos = int(np.clip(np.searchsorted(cw, q * total, side="left"), 0, len(v) - 1))
         out_v.append(v[pos])
     return pd.DataFrame({"q": np.asarray(qs, np.float64), "value": out_v})
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    n_parts: int = 64,
+) -> pd.DataFrame:
+    """EXACT discrete quantiles PER GROUP (the grouped analog of
+    :func:`exact_quantiles`): per-batch (group, value) value-counts
+    combiner -> group-hash partitions (each group's full distribution
+    co-locates) -> per-partition vectorized cumulative-count walk. Matches
+    DuckDB ``quantile_disc(v, qs) GROUP BY g``: idx = ceil(q*n) - 1 into
+    each group's sorted multiset.
+
+    Same bounded-cardinality contract as exact_quantiles, per group.
+    Output: (group_col, q, value).
+    """
+    import math
+
+    qs = list(qs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df[[group_col, value_col]]
+            .dropna(subset=[value_col])
+            .groupby([group_col, value_col], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        hv = pd.util.hash_pandas_object(g[group_col], index=False).to_numpy(np.uint64)
+        g["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby([group_col, value_col], as_index=False)["cnt"]
+            .sum()
+            .sort_values([group_col, value_col], kind="stable")
+        )
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            cum = grp["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = grp[value_col].to_numpy()
+            for q in qs:
+                idx = max(0, math.ceil(q * n) - 1)
+                pos = int(np.searchsorted(cum, idx + 1, side="left"))
+                rows.append((key, q, vals[min(pos, len(vals) - 1)]))
+        return pd.DataFrame(rows, columns=[group_col, "q", "value"])
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out["q"] = out["q"].astype(np.float64)
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)

@@ -787,3 +787,39 @@ def test_broadcast_join_left(rd):
         broadcast_join(
             rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ["name"], how="outer"
         )
+
+
+def test_grouped_quantiles(rd):
+    from rayquality.ops.sketch import grouped_quantiles
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.9]
+    got = grouped_quantiles(li, "l_returnflag", "l_quantity", qs)
+    import math
+
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_returnflag", "l_quantity"]]
+    for (flag, q), sub in got.set_index(["l_returnflag", "q"]).groupby(level=[0, 1]):
+        vals = np.sort(pdf[pdf["l_returnflag"] == flag]["l_quantity"].to_numpy())
+        idx = max(0, math.ceil(q * len(vals)) - 1)
+        assert sub["value"].iloc[0] == vals[idx], (flag, q)
+    assert len(got) == pdf["l_returnflag"].nunique() * len(qs)
+
+
+def test_broadcast_anti_join(rd):
+    from rayquality.ops.relational import broadcast_anti_join
+
+    customer = rd.read_parquet(f"{SF}/customer.parquet")
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    out = (
+        broadcast_anti_join(
+            customer.select_columns(["c_custkey"]), ev, "c_custkey", "user_id"
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"]
+    users = set(pd.read_parquet(f"{SF}/events.parquet")["user_id"])
+    want = sorted(c for c in cust if c not in users)
+    assert out["c_custkey"].tolist() == want
+    assert len(want) > 0
