@@ -984,7 +984,8 @@ def oracle_sql() -> dict[str, str]:
             "'orders','lineitem','events','documents','embeddings')), "
             "parents AS ("
             "  SELECT s, t AS parent, c AS parent_column FROM cols "
-            "  WHERE s LIKE '%key' AND starts_with(t, substr(s, 1, length(s) - 3))) "
+            "  WHERE s LIKE '%key' AND length(s) > 3 "
+            "    AND starts_with(t, substr(s, 1, length(s) - 3))) "
             "SELECT co.t AS child, co.c AS fk_column, p.parent, p.parent_column "
             "FROM cols co JOIN parents p ON co.s = p.s AND p.parent != co.t "
             "ORDER BY child, fk_column"

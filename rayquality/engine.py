@@ -392,21 +392,25 @@ def discover_relations(dir_path: str) -> dict[str, list[tuple[str, str, str]]]:
         name = _os.path.basename(f)[: -len(".parquet")]
         cols[name] = _pq.read_schema(f).names
     suffix_of = lambda c: c.split("_", 1)[1] if "_" in c else c  # noqa: E731
-    # parent per suffix: table whose own name matches the suffix stem
-    parents: dict[str, tuple[str, str]] = {}
+    # parents per suffix: EVERY table whose own name matches the non-empty
+    # suffix stem (keeping all matches — not last-wins — so the result is
+    # deterministic and identical to the information_schema SQL analog,
+    # which joins every matching parent row; a bare 'key' suffix has an
+    # empty stem and is ignored on both sides)
+    parents: dict[str, list[tuple[str, str]]] = {}
     for t, cs in cols.items():
         for c in cs:
             s = suffix_of(c)
-            if s.endswith("key") and t.startswith(s[: -len("key")]):
-                parents[s] = (t, c)
+            stem = s[: -len("key")]
+            if s.endswith("key") and stem and t.startswith(stem):
+                parents.setdefault(s, []).append((t, c))
     out: dict[str, list[tuple[str, str, str]]] = {}
     for t, cs in cols.items():
         rels = []
         for c in cs:
-            s = suffix_of(c)
-            p = parents.get(s)
-            if p and p[0] != t:
-                rels.append((c, p[0], p[1]))
+            for p_t, p_c in parents.get(suffix_of(c), []):
+                if p_t != t:
+                    rels.append((c, p_t, p_c))
         if rels:
             out[t] = rels
     return out

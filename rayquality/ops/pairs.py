@@ -25,8 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
-
 from .. import dedup
 from ..phash import band_keys
 
@@ -79,10 +77,14 @@ def banded_hamming_pairs(
         g = t.group_by("bkey").aggregate([("bkey", "count")])
         return g.rename_columns(["bkey", "cnt"])
 
-    kc = (
-        banded.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("bkey")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from .combine import combine_partials
+
+    # hash-partition combine, not the sort-based Dataset.groupby aggregate
+    # (measured pathologically slow on skinny partials — combine.py docstring)
+    kc = combine_partials(
+        banded.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["bkey"],
+        sums=["cnt"],
     )
     hot_keys = kc.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], 1)).select(["bkey"]),
@@ -154,10 +156,12 @@ def equal_key_pair_ds(
         g = t.group_by(key_col).aggregate([(key_col, "count")])
         return g.rename_columns([key_col, "cnt"])
 
-    kc = (
-        keyed_ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from .combine import combine_partials
+
+    kc = combine_partials(
+        keyed_ds.map_batches(count_partial, batch_format="pyarrow"),
+        keys=[key_col],
+        sums=["cnt"],
     )
     hot_keys = kc.map_batches(
         lambda t: t.filter(

@@ -169,12 +169,16 @@ def top_customers_per_segment(
     def partial(t: pa.Table) -> pa.Table:
         seg_map = ray.get(seg_ref)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = pd.Series(ck).map(seg_map).to_numpy(object)
+        segs = pd.Series(ck).map(seg_map)
+        # inner-join semantics: orders with an orphan custkey drop out
+        # (an unmatched key would otherwise surface as NaN and crash the
+        # string cast)
+        ok = segs.notna().to_numpy()
         g = pa.table(
             {
-                "c_mktsegment": pa.array(segs, pa.string()),
-                "c_custkey": t["o_custkey"],
-                "cents": _cents(t["o_totalprice"]),
+                "c_mktsegment": pa.array(segs.to_numpy(object)[ok], pa.string()),
+                "c_custkey": t["o_custkey"].filter(pa.array(ok)),
+                "cents": _cents(t["o_totalprice"].filter(pa.array(ok))),
             }
         ).group_by(["c_mktsegment", "c_custkey"]).aggregate([("cents", "sum")])
         return g.rename_columns(["c_mktsegment", "c_custkey", "revenue_cents"])
@@ -258,9 +262,16 @@ def json_field_sum(
     sums make the shuffle carry one row per (group, batch), and the final
     combine is a hash-partitioned skinny groupby. Returns a lazy Dataset
     (one row per group — at corpus scale the group count itself is big, so
-    the result stays distributed for downstream write/join). SQL:
-    CAST(json_extract(props,'$.k') AS BIGINT). Missing/unparsable fields
-    count as 0 toward the sum but are tallied in n_missing.
+    the result stays distributed for downstream write/join).
+    Missing/unparsable fields count as 0 toward the sum but are tallied in
+    n_missing.
+
+    Contract: the field must be a FLAT TOP-LEVEL INTEGER (the regex does
+    not parse nesting, quoted numbers, or floats — on such payloads it
+    diverges from a true json_extract; use an actor-pool json.loads stage
+    when the payloads need full JSON semantics). For flat integer fields
+    the SQL equivalent is CAST(json_extract_string(col,'$.field') AS
+    BIGINT).
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -310,13 +321,13 @@ def value_histogram(
             {"bin": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
         )
 
-    out = (
-        ds.select_columns([column])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("bin")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    from .combine import combine_partials
+
+    out = combine_partials(
+        ds.select_columns([column]).map_batches(partial, batch_format="pyarrow"),
+        keys=["bin"],
+        sums=["n"],
+    ).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("bin").reset_index(drop=True)
 
@@ -387,13 +398,27 @@ def broadcast_join(
         .to_pandas()
         .drop_duplicates(subset=[right_on])
     )
+    # a LEFT join makes every right column nullable; pre-deciding the
+    # float64 upcast for integer right columns keeps ALL blocks on one
+    # schema (otherwise a block whose keys all match stays int64 while a
+    # block with a miss upcasts, and the Dataset's blocks disagree)
+    float_cols = (
+        [c for c in small.columns if pd.api.types.is_integer_dtype(small[c])]
+        if how == "left"
+        else []
+    )
     small_ref = ray.put(small)
 
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
         s = ray.get(small_ref)
-        return df.merge(
+        merged = df.merge(
             s, left_on=left_on, right_on=right_on, how=how, suffixes=("", "__r")
         )
+        for c in float_cols:
+            cc = c if c in merged.columns and c not in df.columns else c + "__r"
+            if cc in merged.columns:
+                merged[cc] = merged[cc].astype(np.float64)
+        return merged
 
     return left.map_batches(per_batch, batch_format="pandas")
 

@@ -157,7 +157,6 @@ def exact_quantiles(
     import math
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(pc.drop_null(t[column].combine_chunks()))
@@ -168,17 +167,19 @@ def exact_quantiles(
             }
         )
 
-    counts = (
-        ds.select_columns([column])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("value")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("value")
-        .reset_index(drop=True)
-    )
+    from .combine import combine_partials
+
+    counts = combine_partials(
+        ds.select_columns([column]).map_batches(partial, batch_format="pyarrow"),
+        keys=["value"],
+        sums=["cnt"],
+    ).to_pandas()
+    if not len(counts):  # empty/all-null column (arrives column-less): no
+        # quantiles, not a crash
+        return pd.DataFrame({"q": pd.Series([], dtype=np.float64), "value": []})
+    counts = counts.sort_values("value").reset_index(drop=True)
     cum = counts["cnt"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     out_q, out_v = [], []
     for q in qs:
         idx = max(0, math.ceil(q * n) - 1)
@@ -365,6 +366,8 @@ def approx_quantiles(
         .map_batches(merge, batch_size=64 * m, batch_format="pyarrow")
         .to_pandas()
     )
+    if not len(parts):  # empty/all-null column
+        return pd.DataFrame({"q": pd.Series([], dtype=np.float64), "value": []})
     v, w = _rank_compact(
         parts["value"].to_numpy(np.float64), parts["weight"].to_numpy(np.float64), m
     )

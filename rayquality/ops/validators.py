@@ -337,6 +337,11 @@ def multi_pattern_validity(
         samples=("samples", lambda ls: sorted(v for lst in ls for v in lst)[:10]),
     )
     agg = agg.set_index("column_name").reindex(cols).reset_index()
+    # an empty/absent column (zero batches) reports 0 rows, passed=True —
+    # the reindex fills NaN which int casting would otherwise reject
+    agg["total_rows"] = agg["total_rows"].fillna(0)
+    agg["valid_count"] = agg["valid_count"].fillna(0)
+    agg["samples"] = agg["samples"].apply(lambda v: v if isinstance(v, list) else [])
     out = {
         "column_name": pa.array(agg["column_name"], pa.string()),
         "total_rows": pa.array(agg["total_rows"].astype(np.int64)),

@@ -505,14 +505,20 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
         os.makedirs(final_dir, exist_ok=True)
 
         def finalize_both(t: pa.Table) -> pa.Table:
-            import uuid
+            import hashlib as _hl
 
             import pyarrow.parquet as pq
 
             t = finalize(t)
+            # filename = content hash of the batch's ids: a RETRIED task
+            # overwrites its own file instead of adding a uuid-named
+            # duplicate (idempotent side-effect write; on a multi-node
+            # cluster final_dir must be shared storage, like every sink)
+            ids = t["image_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            name = _hl.md5(ids.tobytes()).hexdigest()[:20]
             pq.write_table(
                 t.select(skinny_cols),
-                os.path.join(final_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                os.path.join(final_dir, f"part-{name}.parquet"),
             )
             t = t.filter(t["keep"])
             # the product caption IS the scrubbed caption

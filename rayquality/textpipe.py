@@ -55,9 +55,13 @@ class _DocScorer:
         from .scrub import scrub_series
 
         texts = ["" if s is None else s for s in t["text"].to_pylist()]
-        n_tokens = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
-        n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
-        n_alpha = pc.count_substring_regex(t["text"], "[a-zA-Z]").cast(pa.int64())
+        # null text counts as empty EVERYWHERE (a null would make every
+        # scalar signal null, and NaN threshold comparisons are all False —
+        # the document would silently bypass the filter)
+        txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+        n_tokens = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        n_alpha = pc.count_substring_regex(txt, "[a-zA-Z]").cast(pa.int64())
         alpha_ratio = pc.divide(
             pc.cast(n_alpha, pa.float64()),
             pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64()),
@@ -104,15 +108,20 @@ def run_documents(docs: rd.Dataset | str, cfg: DocRunConfig) -> dict:
     winners = textdedup.exact_dedup(scored).to_pandas()["doc_id"].to_numpy()
     keep_w = set(winners.tolist())
 
-    # near-dup among exact winners only (verified pairs are the small side)
-    pairs = textdedup.minhash_lsh_pairs(scored, threshold=cfg.near_dup_threshold)
+    # near-dup among exact winners ONLY: an m-copy content cluster would
+    # otherwise bucket all m identical signatures together and verify
+    # ~m^2/2 jaccard=1.0 pairs that the winner filter throws away
+    winners_pre = ray.put(keep_w)
+
+    def only_winners(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].isin(ray.get(winners_pre))]
+
+    winner_docs = scored.map_batches(only_winners, batch_format="pandas")
+    pairs = textdedup.minhash_lsh_pairs(winner_docs, threshold=cfg.near_dup_threshold)
     near_losers: set[int] = set()
     if len(pairs):
-        both = pairs["id_a"].isin(keep_w) & pairs["id_b"].isin(keep_w)
         near_losers = set(
-            np.maximum(pairs.loc[both, "id_a"], pairs.loc[both, "id_b"])
-            .astype(int)
-            .tolist()
+            np.maximum(pairs["id_a"], pairs["id_b"]).astype(int).tolist()
         )
     # winner-id set broadcast once per node, same contract as the image
     # flagship's winner maps; at extreme scale swap for a skinny keep-flag

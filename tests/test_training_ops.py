@@ -823,3 +823,48 @@ def test_broadcast_anti_join(rd):
     want = sorted(c for c in cust if c not in users)
     assert out["c_custkey"].tolist() == want
     assert len(want) > 0
+
+
+def test_top_customers_per_segment_orphan_custkey(rd):
+    """An order whose custkey has no customer row must drop out (inner-join
+    semantics), not crash the string cast (review finding)."""
+    from rayquality.ops.relational import top_customers_per_segment
+
+    orders = pd.DataFrame(
+        {"o_custkey": [1, 2, 999999], "o_totalprice": [10.0, 20.0, 30.0]}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2], "c_mktsegment": ["A", "B"]}
+    )
+    out = top_customers_per_segment(
+        rd.from_pandas(orders), rd.from_pandas(customer), k=2
+    )
+    assert set(out["c_custkey"]) == {1, 2}
+
+
+def test_quantiles_empty_input(rd):
+    from rayquality.ops.sketch import approx_quantiles, exact_quantiles
+
+    empty = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)}))
+    assert len(exact_quantiles(empty, "x", [0.5])) == 0
+    empty2 = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)}))
+    assert len(approx_quantiles(empty2, "x", [0.5])) == 0
+
+
+def test_textpipe_null_text_drops(rd, tmp_path):
+    """A null-text document must DROP via too_few_tokens, not silently pass
+    every NaN threshold comparison (review finding)."""
+    from rayquality.textpipe import DocRunConfig, run_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [None, "a perfectly normal document with plenty of words here ok"],
+        }
+    )
+    p = str(tmp_path / "nulldoc.parquet")
+    df.to_parquet(p)
+    s = run_documents(p, DocRunConfig(output_dir=str(tmp_path / "out"), max_ppl=1e9))
+    assert s["total"] == 2
+    assert s["kept"] == 1
+    assert s["rule_hits"].get("too_few_tokens", 0) >= 1
