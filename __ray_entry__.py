@@ -498,6 +498,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return relational.value_histogram(li, "l_extendedprice", 5000.0)
 
+    def rolling_sum_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.rolling_sum(ev, "user_id", "ts", "value", "event_id", preceding=3)
+        return (
+            out.to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "win_cents"]]
+        )
+
     def lag_delta_events(sf):
         from rayquality.ops import windows
 
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_events": running_total_events,
         "dataset_split_orders": dataset_split_orders,
         "pivot_events_by_type": pivot_events_by_type,
+        "rolling_sum_events": rolling_sum_events,
         "lag_delta_events": lag_delta_events,
         "cohort_retention_events": cohort_retention_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
@@ -1024,6 +1036,14 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY user_id ORDER BY ts, event_id "
             "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events ORDER BY event_id"
+        ),
+        "rolling_sum_events": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents "
+            "FROM c ORDER BY event_id"
         ),
         "lag_delta_events": (
             "WITH c AS (SELECT event_id, user_id, ts, "

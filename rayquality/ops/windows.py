@@ -454,3 +454,59 @@ def cohort_retention(
     out = parts.groupby(["cohort_week", "offset_weeks"], as_index=False)["n_users"].sum()
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values(["cohort_week", "offset_weeks"]).reset_index(drop=True)
+
+
+def rolling_sum(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    id_col: str,
+    preceding: int = 3,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-group rolling sum over the last ``preceding``+1 rows —
+    ``SUM(cents) OVER (PARTITION BY g ORDER BY o, id ROWS BETWEEN p
+    PRECEDING AND CURRENT ROW)``. Group-hash partitions; inside each
+    partition the window is a cumsum difference (one vectorized pass, any
+    window width), reset at group boundaries. Integer cents keep it exact.
+
+    Output: (id_col, group_col, win_cents).
+    """
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        out = df[[group_col, order_col, id_col]].copy()
+        out["cents"] = (
+            np.round(df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
+        )
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col, id_col], kind="stable")
+        c = g["cents"].to_numpy(np.int64)
+        grp = g[group_col].to_numpy()
+        cum = np.cumsum(c)
+        # win[i] = cum[i] - cum[i - p - 1], clamped at each group's start
+        n = len(c)
+        pos = np.arange(n)
+        # index of each group's first row, propagated to every row
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = grp[1:] != grp[:-1]
+        start = np.maximum.accumulate(np.where(new, pos, 0))
+        lo = np.maximum(pos - preceding, start)  # first row inside the window
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        base[lo == 0] = 0
+        out = g[[id_col, group_col]].copy()
+        out["win_cents"] = (cum - base).astype(np.int64)
+        return out
+
+    return (
+        ds.select_columns([group_col, order_col, value_col, id_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

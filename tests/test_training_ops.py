@@ -868,3 +868,30 @@ def test_textpipe_null_text_drops(rd, tmp_path):
     assert s["total"] == 2
     assert s["kept"] == 1
     assert s["rule_hits"].get("too_few_tokens", 0) >= 1
+
+
+def test_rolling_sum(rd):
+    from rayquality.ops.windows import rolling_sum
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    p = 3
+    got = (
+        rolling_sum(ev, "user_id", "ts", "value", "event_id", preceding=p)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "win_cents"]]
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["cents"] = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pdf["win_cents"] = (
+        pdf.groupby("user_id")["cents"]
+        .rolling(p + 1, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .astype(np.int64)
+    )
+    want = pdf.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "win_cents"]
+    ]
+    pd.testing.assert_frame_equal(got, want)
