@@ -609,6 +609,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def augment_images_sample(sf):
+        import glob as _glob
+
+        from rayquality.ops import image as imops
+
+        corpus = _images_corpus(sf)
+        ds = rd.read_parquet(sorted(_glob.glob(corpus + "/*.parquet")))
+        out = imops.augment_images(ds).to_pandas()
+        out["aug_ok"] = out["aug_png"].notna()
+        out["aug_bytes"] = out["aug_png"].map(lambda b: 0 if b is None else len(b))
+        return (
+            out[["image_id", "aug_ok", "flipped", "aug_bytes"]]
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
     return {
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
@@ -671,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
+        "augment_images_sample": augment_images_sample,
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,
     }

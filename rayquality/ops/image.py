@@ -113,6 +113,73 @@ def thumbnails(ds: rd.Dataset, side: int = 16, concurrency: int | None = None) -
     )
 
 
+class Augmenter:
+    """Actor-pool stage: deterministic training-set image augmentation —
+    decode -> (optional horizontal flip, keyed on image_id) -> center crop
+    to ``crop_frac`` -> brightness scale -> re-encode. All transforms are
+    pure numpy over the in-repo codecs (REAL, not stubbed), and keyed on
+    the image id instead of an RNG so reruns and retries produce
+    byte-identical augmented corpora (the same determinism contract as
+    every sampler in this repo).
+
+    Output: (image_id, aug_png, flipped:bool); undecodable rows emit null.
+    """
+
+    def __init__(self, crop_frac: float = 0.875, brightness: float = 1.1) -> None:
+        self.crop_frac = crop_frac
+        self.brightness = brightness
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: list[bytes | None] = []
+        flipped: list[bool] = []
+        import pandas as pd
+
+        ids = t["image_id"].to_numpy(zero_copy_only=False)
+        # stable 64-bit string hash (deterministic across processes)
+        do_flip = pd.util.hash_array(ids.astype(object)) % np.uint64(2) == 0
+        for i, (blob, fmt) in enumerate(zip(t["bytes"], t["fmt"].to_pylist())):
+            try:
+                img = codecs.decode(blob.as_py(), fmt).astype(np.float64)
+            except codecs.CodecError:
+                out.append(None)
+                flipped.append(False)
+                continue
+            if do_flip[i]:
+                img = img[:, ::-1]
+            h, w = img.shape[:2]
+            ch, cw = max(1, int(h * self.crop_frac)), max(1, int(w * self.crop_frac))
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
+            img = np.clip(img * self.brightness, 0, 255).astype(np.uint8)
+            out.append(codecs.encode(img, "png"))
+            flipped.append(bool(do_flip[i]))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "aug_png": pa.array(out, pa.large_binary()),
+                "flipped": pa.array(flipped),
+            }
+        )
+
+
+def augment_images(
+    ds: rd.Dataset,
+    crop_frac: float = 0.875,
+    brightness: float = 1.1,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    from ..pool import actor_cpus, pool_size
+
+    return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        Augmenter,
+        fn_constructor_args=(crop_frac, brightness),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, pool_size(concurrency)),
+        num_cpus=actor_cpus(),
+    )
+
+
 class AudioFeaturizer:
     """STUB (no audio codecs in this environment — brief mandates the
     plumbing be real and the decode kernel stubbed).

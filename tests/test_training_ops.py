@@ -895,3 +895,41 @@ def test_rolling_sum(rd):
         ["event_id", "user_id", "win_cents"]
     ]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_augment_images(rd):
+    from rayquality import codecs, synth
+    from rayquality.ops.image import augment_images
+
+    corpus = synth.ensure_corpus(2000, seed=42)
+    import glob
+
+    ds = rd.read_parquet(sorted(glob.glob(corpus + "/*.parquet"))).limit(200)
+    out = augment_images(ds).to_pandas()
+    assert len(out) == 200
+    ok = out[out["aug_png"].notna()]
+    assert len(ok) > 150  # ~3% injected defects, rest must decode
+    # augmented images decode, are center-cropped smaller, and the flip
+    # decision is the deterministic id-keyed one
+    src = rd.read_parquet(sorted(glob.glob(corpus + "/*.parquet"))).limit(200).to_pandas()
+    blobs = dict(zip(src["image_id"], zip(src["bytes"], src["fmt"])))
+    row = ok.iloc[0]
+    img = codecs.decode(row["aug_png"], "png")
+    blob, fmt = blobs[row["image_id"]]
+    orig = codecs.decode(blob, fmt)  # crop is relative to DECODED dims
+    assert img.shape[0] == max(1, int(orig.shape[0] * 0.875))
+    assert img.shape[1] == max(1, int(orig.shape[1] * 0.875))
+    want_flip = (
+        pd.util.hash_array(ok["image_id"].to_numpy().astype(object)) % np.uint64(2) == 0
+    )
+    assert (ok["flipped"].to_numpy() == want_flip).all()
+    # determinism: second run byte-identical
+    out2 = augment_images(
+        rd.read_parquet(sorted(glob.glob(corpus + "/*.parquet"))).limit(200)
+    ).to_pandas()
+    m = out.merge(out2, on="image_id", suffixes=("", "_2"))
+    same = [
+        (a == b) or (a is None and b is None)
+        for a, b in zip(m["aug_png"], m["aug_png_2"])
+    ]
+    assert all(same)
