@@ -498,6 +498,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (li,) = _tables(sf, "lineitem")
         return relational.value_histogram(li, "l_extendedprice", 5000.0)
 
+    def funnel_signup_click_purchase(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        return windows.funnel_counts(ev, ["signup", "click", "purchase"])
+
     def rolling_sum_events(sf):
         from rayquality.ops import windows
 
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_events": running_total_events,
         "dataset_split_orders": dataset_split_orders,
         "pivot_events_by_type": pivot_events_by_type,
+        "funnel_signup_click_purchase": funnel_signup_click_purchase,
         "rolling_sum_events": rolling_sum_events,
         "lag_delta_events": lag_delta_events,
         "cohort_retention_events": cohort_retention_events,
@@ -1053,6 +1060,22 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY user_id ORDER BY ts, event_id "
             "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events ORDER BY event_id"
+        ),
+        "funnel_signup_click_purchase": (
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "  WHERE event_type = 'signup' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "  JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t "
+            "  WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "  JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t "
+            "  WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT * FROM ("
+            "  SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, "
+            "    CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users "
+            "  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+            "  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) "
+            "ORDER BY step_idx"
         ),
         "rolling_sum_events": (
             "WITH c AS (SELECT event_id, user_id, ts, "

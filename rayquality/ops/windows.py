@@ -510,3 +510,59 @@ def rolling_sum(
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    events: rd.Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_parts: int = 64,
+) -> pd.DataFrame:
+    """Ordered funnel conversion: how many users performed step k at or
+    after their (recursively defined) completion time of step k-1.
+
+    Each user's step events co-locate via the user hash; a partition then
+    resolves ALL its users together with one ``np.minimum.at`` segment-min
+    per step (k vectorized passes, no per-user Python work): t_k[user] =
+    min ts of step-k events with ts >= t_{k-1}[user]. Partition counts sum
+    exactly because every user lives in exactly one partition.
+
+    Output: (step_idx, step, n_users).
+    """
+    steps = list(steps)
+    int_max = np.iinfo(np.int64).max
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df[type_col].isin(steps)][[user_col, type_col, ts_col]].copy()
+        hv = pd.util.hash_pandas_object(out[user_col], index=False).to_numpy(np.uint64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g[user_col].to_numpy()
+        ts = g[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+        typ = g[type_col].to_numpy(object)
+        _uniq, inv = np.unique(uid, return_inverse=True)
+        t_prev = np.full(len(_uniq), np.iinfo(np.int64).min, np.int64)
+        rows = []
+        for i, step in enumerate(steps):
+            mask = (typ == step) & (ts >= t_prev[inv])
+            t_cur = np.full(len(_uniq), int_max, np.int64)
+            np.minimum.at(t_cur, inv[mask], ts[mask])
+            rows.append((i + 1, step, int((t_cur < int_max).sum())))
+            t_prev = t_cur
+        return pd.DataFrame(rows, columns=["step_idx", "step", "n_users"])
+
+    parts = (
+        events.select_columns([user_col, type_col, ts_col])
+        .map_batches(pack, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["step_idx", "step"], as_index=False)["n_users"].sum()
+    out["step_idx"] = out["step_idx"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("step_idx").reset_index(drop=True)

@@ -933,3 +933,35 @@ def test_augment_images(rd):
         for a, b in zip(m["aug_png"], m["aug_png_2"])
     ]
     assert all(same)
+
+
+def test_funnel_counts(rd):
+    from rayquality.ops.windows import funnel_counts
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    steps = ["signup", "click", "purchase"]
+    got = funnel_counts(ev, steps)
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "event_type", "ts"]]
+    # naive per-user sequential walk
+    t_prev: dict = {}
+    want = []
+    users = set(pdf["user_id"])
+    t_prev = {u: pd.Timestamp.min for u in users}
+    alive = set(users)
+    for i, step in enumerate(steps):
+        nxt = {}
+        for u in alive:
+            sub = pdf[
+                (pdf["user_id"] == u)
+                & (pdf["event_type"] == step)
+                & (pdf["ts"] >= t_prev[u])
+            ]
+            if len(sub):
+                nxt[u] = sub["ts"].min()
+        want.append((i + 1, step, len(nxt)))
+        t_prev, alive = nxt, set(nxt)
+    want_df = pd.DataFrame(want, columns=["step_idx", "step", "n_users"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+    # funnel is monotone non-increasing
+    assert (np.diff(got["n_users"].to_numpy()) <= 0).all()
