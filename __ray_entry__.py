@@ -108,6 +108,7 @@ def _q_decode_stats(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayquality.ops import ann, relational, text, textdedup, validators
+    from rayquality.ops import quant as _quant
 
     def completeness_customer(sf):
         (ds,) = _tables(sf, "customer")
@@ -382,9 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table(
                 {
                     "o_orderkey": t["o_orderkey"],
-                    "price_cents": pc.cast(
-                        pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
-                    ),
+                    "price_cents": _quant.cents_pa(t["o_totalprice"]),
                     "o_orderpriority": t["o_orderpriority"],
                 }
             )

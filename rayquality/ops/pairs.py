@@ -58,13 +58,25 @@ def banded_hamming_pairs(
     max_hamming: int,
     n_bands: int,
     n_parts: int = DEFAULT_N_PARTS,
+    group_cap: int = dedup.GROUP_CAP,
 ) -> pd.DataFrame:
     """All distinct (id_a, id_b), id_a < id_b, with hamming(sig) <=
     ``max_hamming`` among rows sharing at least one of ``n_bands`` bands.
 
-    Exact for hamming <= n_bands - 1 (pigeonhole); approximate above.
-    ``max_hamming=0, n_bands=1`` degenerates to exact-signature pairing.
+    Exact for hamming <= n_bands - 1 (pigeonhole) PROVIDED no band bucket
+    exceeds ``group_cap`` members; approximate above. Buckets larger than
+    ``group_cap`` are dropped EXPLICITLY (the offset-sweep kernel would
+    otherwise silently truncate pairs at offsets >= cap): the dropped-key
+    count is logged and returned via ``result.attrs['dropped_band_keys']``
+    so callers can detect skew instead of silently losing recall. A bucket
+    that big means >cap rows share a band value — quadratic pair output
+    with no signal; pre-collapse identical signatures upstream if that is
+    expected. ``max_hamming=0, n_bands=1`` degenerates to exact-signature
+    pairing.
     """
+    # the offset-sweep kernel truncates at dedup.GROUP_CAP internally, so a
+    # larger requested cap could not be honored exactly — clamp it
+    group_cap = min(group_cap, dedup.GROUP_CAP)
     # materialize: the banded table is consumed twice (count prefilter +
     # pair pass); without it the upstream signature computation re-executes.
     # The table is skinny (16 bytes x n_bands per row) so the object store
@@ -86,12 +98,26 @@ def banded_hamming_pairs(
         keys=["bkey"],
         sums=["cnt"],
     )
-    hot_keys = kc.map_batches(
-        lambda t: t.filter(pc.greater(t["cnt"], 1)).select(["bkey"]),
+    kdf = kc.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)),
         batch_format="pyarrow",
     ).to_pandas()
+    n_dropped = int((kdf["cnt"] > group_cap).sum()) if len(kdf) else 0
+    if n_dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "banded_hamming_pairs: dropping %d band buckets larger than "
+            "group_cap=%d (pairs in them are NOT emitted)",
+            n_dropped,
+            group_cap,
+        )
+        kdf = kdf[kdf["cnt"] <= group_cap]
+    hot_keys = kdf[["bkey"]]
     if not len(hot_keys):
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        out = pd.DataFrame({"id_a": [], "id_b": []})
+        out.attrs["dropped_band_keys"] = n_dropped
+        return out
     hot_ref = ray.put(hot_keys["bkey"].to_numpy(np.int64))
 
     def only_hot_with_part(t: pa.Table) -> pa.Table:
@@ -118,12 +144,16 @@ def banded_hamming_pairs(
         .to_pandas()  # verified pairs only: the small output side
     )
     if not len(pdf):
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    return (
+        out = pd.DataFrame({"id_a": [], "id_b": []})
+        out.attrs["dropped_band_keys"] = n_dropped
+        return out
+    out = (
         pdf.drop_duplicates()  # a pair can match in several bands
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+    out.attrs["dropped_band_keys"] = n_dropped
+    return out
 
 
 def equal_key_pair_ds(

@@ -18,7 +18,9 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+    from .quant import cents_pa
+
+    return cents_pa(col)
 
 
 def q1_pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> pd.DataFrame:
@@ -40,7 +42,7 @@ def q1_pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> pd.D
             )
         qty = pc.cast(t["l_quantity"], pa.int64())
         base_c = _cents(t["l_extendedprice"])
-        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        disc_pct = _cents(t["l_discount"])
         # cents * (100 - disc%) stays integral; /100 applied at the end
         disc_c = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
         g = pa.table(

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..models import langid, perplexity
+from . import quant
 
 
 def token_counts(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
@@ -247,7 +248,7 @@ def tfidf_top_terms(
         idf = ray.get(idf_ref)
         s = df["tf"].to_numpy(np.float64) * df["term"].map(idf).to_numpy(np.float64)
         out = df[[id_col, "term"]].copy()
-        out["score_micro"] = np.round(s * 1e6).astype(np.int64)
+        out["score_micro"] = quant.quantize_i64(s, 1e6)
         hv = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy(np.uint64)
         out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
         return out

@@ -278,11 +278,11 @@ def minhash_lsh_pairs(
     verified = _verify_jaccard_distributed(cand_docs, id_col, text_col, k, threshold)
     if not len(verified):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    # restrict to pairs that actually banded together (LSH semantics)
-    span = int(max(cand_ids.max(), verified[["id_a", "id_b"]].to_numpy().max())) + 1
-    ckey = cand["id_a"].to_numpy(np.int64) * span + cand["id_b"].to_numpy(np.int64)
-    vkey = verified["id_a"].to_numpy(np.int64) * span + verified["id_b"].to_numpy(np.int64)
-    out = verified[np.isin(vkey, ckey)]
+    # restrict to pairs that actually banded together (LSH semantics) — an
+    # inner merge on both id columns, never an id_a*span+id_b scalar key
+    # (that product wraps int64 for large doc ids and wrapped-key collisions
+    # could admit pairs that never banded)
+    out = verified.merge(cand[["id_a", "id_b"]].drop_duplicates(), on=["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -451,9 +451,12 @@ def _block_pair_task(
     ids_a, A = _unit_matrix(ta, id_col, vec_col)
     ids_b, B = _unit_matrix(tb, id_col, vec_col)
     sims = A @ B.T
+    mask = sims >= threshold
     if same:
-        sims = np.triu(sims, k=1)  # each unordered pair once, no self pairs
-    ii, jj = np.nonzero(sims >= threshold)
+        # boolean upper-triangle mask, NOT np.triu value-zeroing: zeroed
+        # entries would pass the comparison whenever threshold <= 0
+        mask &= np.arange(len(ids_a))[:, None] < np.arange(len(ids_b))[None, :]
+    ii, jj = np.nonzero(mask)
     a, b = ids_a[ii], ids_b[jj]
     keep = a != b
     a, b = a[keep], b[keep]

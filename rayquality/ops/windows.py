@@ -13,6 +13,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from . import quant
+
 
 def sessionize(
     events: rd.Dataset, gap_minutes: int = 30, n_parts: int = 64
@@ -244,9 +246,7 @@ def running_total(
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
         out = df[[group_col, order_col, id_col]].copy()
-        out["cents"] = (
-            np.round(df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
-        )
+        out["cents"] = quant.cents_np(df[value_col].to_numpy(np.float64))
         out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
         return out
 
@@ -285,9 +285,7 @@ def lag_delta(
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
         out = df[[group_col, order_col, id_col]].copy()
-        out["cents"] = (
-            np.round(df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
-        )
+        out["cents"] = quant.cents_np(df[value_col].to_numpy(np.float64))
         out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
         return out
 
@@ -477,9 +475,7 @@ def rolling_sum(
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
         out = df[[group_col, order_col, id_col]].copy()
-        out["cents"] = (
-            np.round(df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
-        )
+        out["cents"] = quant.cents_np(df[value_col].to_numpy(np.float64))
         out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
         return out
 

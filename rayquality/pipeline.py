@@ -514,8 +514,11 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
             # overwrites its own file instead of adding a uuid-named
             # duplicate (idempotent side-effect write; on a multi-node
             # cluster final_dir must be shared storage, like every sink)
-            ids = t["image_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            name = _hl.md5(ids.tobytes()).hexdigest()[:20]
+            # hash the id CONTENT (joined utf-8 strings), never
+            # ndarray.tobytes() of an object array — that would hash PyObject
+            # pointers and make the name nondeterministic across processes
+            ids = t["image_id"].combine_chunks().to_pylist()
+            name = _hl.md5("\n".join(ids).encode()).hexdigest()[:20]
             pq.write_table(
                 t.select(skinny_cols),
                 os.path.join(final_dir, f"part-{name}.parquet"),
