@@ -272,13 +272,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from rayquality.ops import windows
 
         (ev,) = _tables(sf, "events")
-        return windows.sessionize(ev, gap_minutes=30)
+        out = windows.sessionize(ev, gap_minutes=30).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "n_sessions", "n_events"]
+        ]
 
     def sliding_window_events(sf):
         from rayquality.ops import windows
 
         (ev,) = _tables(sf, "events")
-        return windows.sliding_window_counts(ev, window_minutes=60, slide_minutes=15)
+        out = windows.sliding_window_counts(ev, window_minutes=60, slide_minutes=15).to_pandas()
+        return out.sort_values(["user_id", "w_start"]).reset_index(drop=True)[
+            ["user_id", "w_start", "n_events"]
+        ]
 
     def asof_last_order(sf):
         from rayquality.ops import asof
@@ -295,7 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["o_orderkey", "o_orderdate"],
             tiebreak="o_orderkey",
         )
-        return out.sort_values("event_id").reset_index(drop=True)
+        return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
     def range_join_cooccur_events(sf):
         import pandas as pd
@@ -322,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             before=pd.Timedelta(minutes=30),
             after=pd.Timedelta(minutes=30),
         )
+        out = out.to_pandas()
         out = out[out["event_id"] < out["event_id_b"]]
         return out.sort_values(["event_id", "event_id_b"]).reset_index(drop=True)
 

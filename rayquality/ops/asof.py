@@ -36,8 +36,8 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str,
     n_parts: int = 32,
-) -> pd.DataFrame:
-    """Inner as-of join -> pandas frame with ``left_cols + right_cols``.
+) -> rd.Dataset:
+    """Inner as-of join -> lazy Dataset with ``left_cols + right_cols``.
 
     ``left_cols``/``right_cols`` are the payload columns to carry through
     (must include the key/ts columns you want in the output). ``tiebreak``
@@ -89,7 +89,7 @@ def asof_join(
         L = g[g["side"] == 0]
         R = g[g["side"] == 1]
         if not len(L) or not len(R):
-            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in all_cols})
+            return _typed_empty(all_cols, _ARROW_TYPES)
         L = L.sort_values("__ts", kind="stable")
         # ties: merge_asof keeps the LAST equal-ts right row in frame order,
         # so sorting by (ts, tiebreak) makes the largest tiebreak win
@@ -101,15 +101,17 @@ def asof_join(
             by="__key",
             direction="backward",
         )
-        return merged.dropna(subset=[tiebreak])[all_cols]  # inner semantics
+        out = merged.dropna(subset=[tiebreak])[all_cols]  # inner semantics
+        # dtype restore runs INSIDE the partition task, so the operator can
+        # return a lazy Dataset (no driver-side O(rows) post-pass)
+        return _restore_dtypes(out, all_cols, _ARROW_TYPES)
 
-    out = (
+    # lazy: the join output streams — collect only at the consumer
+    return (
         packed_l.union(packed_r)
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
-        .to_pandas()
     )
-    return _restore_dtypes(out, all_cols, _ARROW_TYPES)
 
 
 def _restore_dtypes(
@@ -117,10 +119,8 @@ def _restore_dtypes(
 ) -> pd.DataFrame:
     """The side-tagged union carries nulls on the off-side columns, so
     pandas upcasts ints to float64 end-to-end; restore every column's
-    source dtype. A fully-empty result (no matches anywhere) arrives
-    column-less — rebuild the typed empty frame."""
-    if out.empty and list(out.columns) != all_cols:
-        out = pd.DataFrame({c: pd.Series([], dtype=object) for c in all_cols})
+    source dtype (applied PER PARTITION, inside the map_groups task)."""
+    out = out.reset_index(drop=True)
     for c in all_cols:
         t = arrow_types[c]
         if pa.types.is_timestamp(t):
@@ -128,6 +128,31 @@ def _restore_dtypes(
         else:
             out[c] = out[c].astype(t.to_pandas_dtype())
     return out[all_cols]
+
+
+def collect(ds: rd.Dataset) -> pd.DataFrame:
+    """``ds.to_pandas()`` that survives the all-empty case: Ray drops the
+    column list when every block is empty, but ``ds.schema()`` still knows
+    it — rebuild the typed empty frame from the schema."""
+    out = ds.to_pandas()
+    if out.empty and not len(out.columns):
+        sch = ds.schema()
+        names = list(sch.names)
+        types = {n: t for n, t in zip(sch.names, sch.types)}
+        return _restore_dtypes(
+            pd.DataFrame({c: pd.Series([], dtype=object) for c in names}),
+            names,
+            types,
+        )
+    return out
+
+
+def _typed_empty(all_cols: list[str], arrow_types: dict[str, pa.DataType]) -> pd.DataFrame:
+    return _restore_dtypes(
+        pd.DataFrame({c: pd.Series([], dtype=object) for c in all_cols}),
+        all_cols,
+        arrow_types,
+    )
 
 
 def range_join(
@@ -142,7 +167,7 @@ def range_join(
     before: "pd.Timedelta",
     after: "pd.Timedelta",
     n_parts: int = 32,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Inner range (interval) join: every (left, right) pair with equal keys
     and ``right_ts`` in ``[left_ts - before, left_ts + after]``.
 
@@ -197,19 +222,18 @@ def range_join(
         L = g[g["side"] == 0]
         R = g[g["side"] == 1]
         if not len(L) or not len(R):
-            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in all_cols})
+            return _typed_empty(all_cols, _ARROW_TYPES)
         merged = L[["__key", "__ts"] + left_cols].merge(
             R[["__key", "__ts"] + right_cols], on="__key", suffixes=("", "__r")
         )
         rt = merged["__ts__r"]
         lt = merged["__ts"]
         keep = (rt >= lt - before) & (rt <= lt + after)
-        return merged[keep][all_cols]
+        return _restore_dtypes(merged[keep][all_cols], all_cols, _ARROW_TYPES)
 
-    out = (
+    # lazy: the join output streams — collect only at the consumer
+    return (
         packed_l.union(packed_r)
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
-        .to_pandas()
     )
-    return _restore_dtypes(out, all_cols, _ARROW_TYPES).reset_index(drop=True)

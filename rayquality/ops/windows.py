@@ -18,14 +18,16 @@ from . import quant
 
 def sessionize(
     events: rd.Dataset, gap_minutes: int = 30, n_parts: int = 64
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Session counts per user: a session break is a gap > ``gap_minutes``.
 
     Hash-partitioned by user then VECTORIZED per partition (one sort +
     bincount per partition, never one Python call per user — at 10^8 users
     per-group ``map_groups`` would mean 10^8 pandas calls).
 
-    -> (user_id, n_sessions, n_events), sorted by user_id.
+    -> lazy Dataset (user_id, n_sessions, n_events): the output is O(users)
+    — the dataset at scale — so it streams; consumers collect/sort only
+    what they need.
     """
     gap = np.timedelta64(gap_minutes * 60, "s")
 
@@ -38,7 +40,13 @@ def sessionize(
         uid = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
         if not len(uid):
-            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_sessions": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
         same = uid[1:] == uid[:-1]
         brk = same & (np.diff(ts) > gap)
         new = np.empty(len(uid), dtype=bool)
@@ -56,21 +64,17 @@ def sessionize(
             }
         )
 
-    out = (
+    return (
         events.select_columns(["user_id", "ts"])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
-        .to_pandas()
     )
-    return out.sort_values("user_id").reset_index(drop=True)[
-        ["user_id", "n_sessions", "n_events"]
-    ]
 
 
 def sliding_window_counts(
     events: rd.Dataset, window_minutes: int = 60, slide_minutes: int = 15
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Sliding-window event counts per user: windows of ``window_minutes``
     starting every ``slide_minutes`` (an event lands in window/slide
     consecutive windows).
@@ -80,7 +84,9 @@ def sliding_window_counts(
     (combiner), then one skinny global groupby sums the partials — the
     shuffle moves (user, window, count) triples, never events.
 
-    -> (user_id, w_start, n_events), sorted.
+    -> lazy Dataset (user_id, w_start, n_events): O(users x windows) output
+    streams; the w_start datetime64[us] pin happens inside the combine's
+    final map task, never on the driver.
     """
     if window_minutes % slide_minutes:
         raise ValueError("window_minutes must be a multiple of slide_minutes")
@@ -113,15 +119,18 @@ def sliding_window_counts(
 
     from .combine import combine_partials
 
-    out = combine_partials(
+    def pin_ts(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("w_start"),
+            "w_start",
+            t["w_start"].cast(pa.timestamp("us")),
+        ).select(["user_id", "w_start", "n_events"])
+
+    return combine_partials(
         events.select_columns(["user_id", "ts"]).map_batches(explode, batch_format="pyarrow"),
         keys=["user_id", "w_start"],
         sums=["n_events"],
-    ).to_pandas()
-    out["w_start"] = out["w_start"].astype("datetime64[us]")
-    return out.sort_values(["user_id", "w_start"]).reset_index(drop=True)[
-        ["user_id", "w_start", "n_events"]
-    ]
+    ).map_batches(pin_ts, batch_format="pyarrow")
 
 
 def systematic_sample(ds: rd.Dataset, key: str, modulus: int, remainder: int = 0) -> rd.Dataset:

@@ -16,7 +16,12 @@ def test_sessionize_naive_parity(rd):
     from rayquality.ops.windows import sessionize
 
     ev = rd.read_parquet(f"{SF}/events.parquet")
-    got = sessionize(ev, gap_minutes=30)
+    got = (
+        sessionize(ev, gap_minutes=30)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "n_sessions", "n_events"]]
+    )
     pdf = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "ts"]]
     want = []
     for uid, g in pdf.groupby("user_id"):

@@ -239,7 +239,7 @@ def test_asof_join_naive_parity(rd):
         left_cols=["event_id", "user_id", "ts"],
         right_cols=["o_orderkey", "o_orderdate"],
         tiebreak="o_orderkey",
-    ).sort_values("event_id").reset_index(drop=True)
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
     # event 1: user 7 at 01-02 -> order 10; event 2: 01-05 -> tie date 01-04,
     # orderkey 12 wins; event 3: user 8 at 01-03 -> order 20 (same-day match);
     # event 4: user 9 -> no orders (dropped); event 5: before any order.
@@ -253,7 +253,9 @@ def test_sliding_window_counts_naive(rd):
 
     ts = pd.to_datetime(["2024-01-01 00:07", "2024-01-01 00:20", "2024-01-01 02:00"])
     ev = pd.DataFrame({"user_id": [1, 1, 1], "ts": ts.astype("datetime64[us]")})
-    got = sliding_window_counts(rd.from_pandas(ev), window_minutes=60, slide_minutes=15)
+    got = sliding_window_counts(
+        rd.from_pandas(ev), window_minutes=60, slide_minutes=15
+    ).to_pandas()
     # naive: every (user, w_start) with w_start multiple of 15min and
     # w_start <= ts < w_start + 60min
     want = {}

@@ -271,7 +271,7 @@ def test_range_join_naive_parity(rd):
         right_cols=["event_id_b", "ts_b"],
         before=w,
         after=w,
-    )
+    ).to_pandas()
     got = (
         got[got["event_id"] < got["event_id_b"]]
         .sort_values(["event_id", "event_id_b"])
@@ -513,6 +513,9 @@ def test_range_join_empty_result(rd):
         before=pd.Timedelta(days=1),
         after=pd.Timedelta(days=1),
     )
+    from rayquality.ops.asof import collect
+
+    out = collect(out)
     assert len(out) == 0
     assert list(out.columns) == ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]
     assert out["event_id"].dtype == np.int64
