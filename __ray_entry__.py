@@ -483,6 +483,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_quality_filter_rules(sf):
+        """Model-free variant: token-count + alpha-ratio + exact-dup rules
+        only — every rule SQL-expressible, so the driver hash-checks the
+        pipeline's decision arithmetic (VERDICT r2 item 6)."""
+        import glob as _g
+
+        from rayquality.textpipe import DocRunConfig, run_documents
+
+        out = f"/tmp/rayquality_docrules_{_sf_of(sf)}"
+        summary = run_documents(
+            os.path.join(sf, "documents.parquet"),
+            DocRunConfig(
+                output_dir=out,
+                scrub=False,
+                use_models=False,
+                near_dup=False,
+                write_kept=False,
+            ),
+        )
+        df = rd.read_parquet(
+            sorted(_g.glob(os.path.join(summary["final_dir"], "*.parquet")))
+        ).to_pandas()
+        rs = df["drop_reasons"]
+        df["r_tokens"] = rs.map(lambda l: "too_few_tokens" in l)
+        df["r_alpha"] = rs.map(lambda l: "alpha_ratio" in l)
+        df["r_exact"] = rs.map(lambda l: "exact_dup" in l)
+        return (
+            df[["doc_id", "keep", "r_tokens", "r_alpha", "r_exact"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -637,7 +669,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    # ORDERING CONTRACT: the driver's correctness gate checks the FIRST 50
+    # entries only (CORRECTNESS_r02 capped there), so every query with an
+    # oracle_sql() entry (50 of them) comes first and every rows-only /
+    # approximate query after — no oracled query may be stranded outside
+    # the gate window (VERDICT r2 item 1).
     return {
+        # ---- oracled (50, exactly the gate window) -------------------------
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
         "duplicate_values_orders": duplicate_values_orders,
@@ -653,19 +691,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_documents": text_quality_documents,
         "fingerprint_documents": fingerprint_documents,
         "tfidf_top_terms_documents": tfidf_top_terms_documents,
-        "lang_ppl_documents": lang_ppl_documents,
         "dedup_exact_documents": dedup_exact_documents,
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_simhash_documents": dedup_simhash_documents,
         "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
         "dedup_embedding_documents": dedup_embedding_documents,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
         "fk_discovery": fk_discovery,
-        "kmeans_embeddings": kmeans_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivf_index_topk": ann_ivf_index_topk,
         "user_sessions": user_sessions,
         "sliding_window_events": sliding_window_events,
         "asof_last_order": asof_last_order,
@@ -677,13 +707,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": customers_without_events,
         "broadcast_join_orders_segment": broadcast_join_orders_segment,
         "clean_orders": clean_orders,
-        "heavy_hitters_orders": heavy_hitters_orders,
         "heavy_hitters_exact_events": heavy_hitters_exact_events,
         "pii_scrub_documents": pii_scrub_documents,
         "dedup_clusters_documents": dedup_clusters_documents,
         "stratified_sample_orders": stratified_sample_orders,
         "pack_sequences_documents": pack_sequences_documents,
-        "doc_quality_filter": doc_quality_filter,
+        "doc_quality_filter_rules": doc_quality_filter_rules,
         "mixture_by_lang_documents": mixture_by_lang_documents,
         "json_field_sum_events": json_field_sum_events,
         "distinct_users_per_event_type": distinct_users_per_event_type,
@@ -697,6 +726,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_delta_events": lag_delta_events,
         "cohort_retention_events": cohort_retention_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
+        # ---- rows-only / approximate / model-backed (no SQL oracle) --------
+        "lang_ppl_documents": lang_ppl_documents,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "kmeans_embeddings": kmeans_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_index_topk": ann_ivf_index_topk,
+        "heavy_hitters_orders": heavy_hitters_orders,
+        "doc_quality_filter": doc_quality_filter,
         "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
@@ -1031,6 +1071,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT co.t AS child, co.c AS fk_column, p.parent, p.parent_column "
             "FROM cols co JOIN parents p ON co.s = p.s AND p.parent != co.t "
             "ORDER BY child, fk_column"
+        ),
+        "doc_quality_filter_rules": (
+            # model-free decision arithmetic of the doc pipeline: token
+            # count + alpha ratio + exact-dup (min doc_id per raw text wins);
+            # null text counts as empty, matching the engine's fill_null
+            "WITH q AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  len(regexp_extract_all(t, '\\S+')) AS n_tok, "
+            "  len(regexp_extract_all(t, '[a-zA-Z]')) AS n_alpha, "
+            "  length(t) AS n_chars, "
+            "  MIN(doc_id) OVER (PARTITION BY t) AS win FROM q) "
+            "SELECT doc_id, "
+            "  NOT ((n_tok < 5) OR "
+            "       ((CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1)) < 0.45) OR "
+            "       (doc_id <> win)) AS keep, "
+            "  (n_tok < 5) AS r_tokens, "
+            "  ((CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1)) < 0.45) AS r_alpha, "
+            "  (doc_id <> win) AS r_exact "
+            "FROM s ORDER BY doc_id"
         ),
         "mixture_by_lang_documents": (
             "SELECT doc_id, lang FROM documents "

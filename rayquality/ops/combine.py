@@ -25,8 +25,10 @@ def combine_partials(
     keys: list[str],
     sums: list[str],
     n_parts: int = DEFAULT_N_PARTS,
+    mins: list[str] | None = None,
 ) -> rd.Dataset:
-    """Sum ``sums`` per distinct ``keys`` tuple across all partial rows."""
+    """Sum ``sums`` (and min ``mins``) per distinct ``keys`` tuple across
+    all partial rows."""
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(np.uint64)
@@ -37,7 +39,10 @@ def combine_partials(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: a null key value is a real group (e.g. the
         # null-value row of a value-counts table)
-        return g.groupby(keys, as_index=False, dropna=False)[sums].sum()
+        if not mins:
+            return g.groupby(keys, as_index=False, dropna=False)[sums].sum()
+        agg = {c: "sum" for c in sums} | {c: "min" for c in mins}
+        return g.groupby(keys, as_index=False, dropna=False).agg(agg)
 
     return (
         ds.map_batches(add_pkey, batch_format="pandas")

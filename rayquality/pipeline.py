@@ -141,10 +141,15 @@ DRIVER_COMBINE_MAX = 2_000_000
 
 def _collect_arrow(ds: rd.Dataset) -> pa.Table:
     """Collect a small dataset as one Arrow table (multithreaded C++ combine
-    beats pandas object-dtype groupby by ~10x on string keys)."""
+    beats pandas object-dtype groupby by ~10x on string keys). Ray can emit
+    COLUMN-LESS empty blocks (e.g. an empty read-task split); drop them —
+    they would poison the concat schema."""
     import ray as _ray
 
-    return pa.concat_tables(_ray.get(ds.to_arrow_refs()))
+    tbls = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns]
+    if not tbls:
+        raise ValueError("dataset produced no non-empty blocks")
+    return pa.concat_tables(tbls)
 
 
 def compute_exact_dup_map(

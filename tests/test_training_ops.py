@@ -968,3 +968,81 @@ def test_funnel_counts(rd):
     pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
     # funnel is monotone non-increasing
     assert (np.diff(got["n_users"].to_numpy()) <= 0).all()
+
+
+def test_docpipe_resume_skips_completed_waves(rd, tmp_path):
+    """Doc-pipeline checkpoint/resume, mirroring the image flagship's
+    test_resume_skips_completed_waves: completed waves are not re-scored
+    on a second run; invalidating one manifest record recomputes exactly
+    that wave; summaries stay identical."""
+    import glob
+    import os
+
+    from rayquality.textpipe import DocRunConfig, run_documents
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src + "/shard-0.parquet")
+    pdf.iloc[half:].to_parquet(src + "/shard-1.parquet")
+
+    out = str(tmp_path / "out")
+    cfg = DocRunConfig(output_dir=out, wave_size=1)
+    s1 = run_documents(src, cfg)
+    assert s1["waves"] == 2 and s1["total"] == len(pdf)
+
+    wave_files = sorted(glob.glob(out + "/scored/wave-*/*.parquet"))
+    assert wave_files
+    mtimes = {f: os.path.getmtime(f) for f in wave_files}
+    s2 = run_documents(src, cfg)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"wave file {f} was re-scored on resume"
+    assert s2["kept"] == s1["kept"] and s2["rule_hits"] == s1["rule_hits"]
+
+    # invalidate wave 0 (simulates a kill mid-wave) -> only wave 0 recomputes
+    os.remove(out + "/_manifest/wave-00000.json")
+    s3 = run_documents(src, cfg)
+    assert s3["kept"] == s1["kept"]
+    w0 = sorted(glob.glob(out + "/scored/wave-00000/*.parquet"))
+    w1 = sorted(glob.glob(out + "/scored/wave-00001/*.parquet"))
+    assert any(os.path.getmtime(f) > mtimes.get(f, 0) for f in w0)
+    assert all(os.path.getmtime(f) == mtimes[f] for f in w1 if f in mtimes)
+
+
+def test_docpipe_rules_only_mode(rd, tmp_path):
+    """use_models=False + scrub off + near-dup off: the decision must equal
+    the plain SQL-expressible rule arithmetic (token count, alpha ratio,
+    exact dup on raw text) — the driver-oracle contract for
+    doc_quality_filter_rules."""
+    import glob
+
+    from rayquality.textpipe import DocRunConfig, run_documents
+
+    out = str(tmp_path / "rules_out")
+    cfg = DocRunConfig(
+        output_dir=out, scrub=False, use_models=False, near_dup=False, write_kept=False
+    )
+    s = run_documents(f"{SF}/documents.parquet", cfg)
+    got = (
+        pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(out + "/final/*.parquet"))])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    txt = pdf["text"].fillna("")
+    n_tok = txt.str.count(r"\S+").to_numpy()
+    n_alpha = txt.str.count("[a-zA-Z]").to_numpy()
+    n_chars = txt.str.len().to_numpy()
+    alpha = n_alpha / np.maximum(n_chars, 1)
+    win = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "t": txt.to_numpy()})
+    winners = win.groupby("t")["doc_id"].transform("min").to_numpy()
+    drop = (
+        (n_tok < cfg.min_tokens)
+        | (alpha < cfg.min_alpha_ratio)
+        | (pdf["doc_id"].to_numpy() != winners)
+    )
+    assert (got["keep"].to_numpy() == ~drop).all()
+    assert s["kept"] == int((~drop).sum())
+    # no model columns in the rules-only output
+    assert "ppl" not in got.columns and "lang_pred" not in got.columns
