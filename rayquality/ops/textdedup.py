@@ -308,19 +308,6 @@ def _verify_jaccard_distributed(
     # expensive step and must run once
     shingles = docs.map_batches(explode_shingles, batch_format="pyarrow").materialize()
 
-    # per-doc set sizes FROM the shingle table (rows per doc = |set|; a doc
-    # may be re-batched across partials, so sum the partial counts)
-    def size_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(id_col).aggregate([(id_col, "count")])
-        return g.rename_columns([id_col, "n_shingles"])
-
-    sizes_df = (
-        shingles.map_batches(size_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby(id_col, as_index=False)["n_shingles"]
-        .sum()
-    )
-    size_map = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
     pair_ds = _pairs.equal_key_pair_ds(
         shingles, id_col, "shingle", group_cap=group_cap, with_counts=True
     )
@@ -348,6 +335,30 @@ def _verify_jaccard_distributed(
     )
     if not len(inter):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    # per-doc set sizes restricted to docs that actually appear in a pair:
+    # the candidate id set derives from `inter` (output-sized, already on
+    # the driver), broadcasts once, and filters the size partials in the
+    # tasks — the driver never holds an O(corpus) size map (VERDICT r2 #2)
+    pair_ids = np.unique(
+        np.concatenate([inter["id_a"].to_numpy(), inter["id_b"].to_numpy()])
+    )
+    pair_ids_ref = ray.put(pair_ids)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        cand = ray.get(pair_ids_ref)
+        mask = np.isin(t[id_col].to_numpy(zero_copy_only=False), cand)
+        g = t.filter(pa.array(mask)).group_by(id_col).aggregate([(id_col, "count")])
+        return g.rename_columns([id_col, "n_shingles"])
+
+    # a doc may be re-batched across partials, so sum the partial counts
+    sizes_df = (
+        shingles.map_batches(size_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(id_col, as_index=False)["n_shingles"]
+        .sum()
+    )
+    size_map = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
     na = inter["id_a"].map(size_map).to_numpy(np.int64)
     nb = inter["id_b"].map(size_map).to_numpy(np.int64)
     union = na + nb - inter["inter"].to_numpy(np.int64)
