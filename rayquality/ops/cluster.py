@@ -137,12 +137,14 @@ def kmeans(
 
 def semantic_dedup(
     ds: rd.Dataset,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 5,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    group_cap: int = 4096,
+    rows_per_cluster: int = 2048,
 ) -> rd.Dataset:
     """Cluster-then-dedup (SemDeDup, Abbas et al. 2023): k-means partitions
     the corpus, then each cluster resolves cosine near-duplicates LOCALLY —
@@ -154,9 +156,20 @@ def semantic_dedup(
     the min-id row of each component keeps. Approximate by design: a
     near-dup pair assigned to different clusters is not compared (tight
     duplicates co-assign in practice; raise k for speed, lower it for
-    recall). Partitioning contract: one cluster's vectors fit one worker —
-    size k so N/k stays in-memory, same as the per-cell IVF contract.
+    recall).
+
+    Scale GUARDS (VERDICT r2 #5 — the one-worker contract is enforced, not
+    assumed): ``k=None`` derives k from the corpus size (ceil(N /
+    rows_per_cluster)) so the default cannot silently violate the contract
+    at scale, and a cluster exceeding ``group_cap`` rows is deduplicated in
+    consecutive id-sorted WINDOWS of group_cap rows (the dedup.GROUP_CAP
+    pattern): memory per task stays O(group_cap^2) bits no matter how
+    skewed the clustering, at the cost of missing cross-window pairs inside
+    a degenerate giant cluster (documented approximation, deterministic).
     """
+    if k is None:
+        n = ds.count()
+        k = max(8, -(-n // rows_per_cluster))
     cent, _assign, _inertia = kmeans(ds, k, iters, id_col, vec_col, seed)
     cref = ray.put(cent)
 
@@ -172,11 +185,7 @@ def semantic_dedup(
             }
         )
 
-    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+    def _dedup_window(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
         nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         adj = (nm @ nm.T) >= threshold  # includes the diagonal
         lab = np.arange(len(ids))
@@ -185,11 +194,25 @@ def semantic_dedup(
             if (new == lab).all():
                 break
             lab = new
+        return lab == np.arange(len(ids))
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        # group_cap windowing: an oversized (skewed) cluster is processed in
+        # consecutive id-sorted windows so the adjacency matrix never
+        # exceeds group_cap^2 — bounded memory instead of OOM-shaping
+        keep = np.empty(len(ids), dtype=bool)
+        for lo in range(0, len(ids), group_cap):
+            hi = min(lo + group_cap, len(ids))
+            keep[lo:hi] = _dedup_window(ids[lo:hi], mat[lo:hi])
         return pd.DataFrame(
             {
                 id_col: ids,
                 "cluster": g["cluster"].to_numpy()[order],
-                "keep": lab == np.arange(len(ids)),
+                "keep": keep,
             }
         )
 
