@@ -114,6 +114,10 @@ def run_bench() -> dict:
         "dedup_clusters_documents",
         "kmeans_embeddings",
         "semantic_dedup_embeddings",
+        "tfidf_top_terms_documents",
+        "cohort_retention_events",
+        "user_sessions",
+        "doc_quality_filter_rules",
     ):
         t = time.time()
         res = qs[name](sf_dir)

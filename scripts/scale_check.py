@@ -1,0 +1,165 @@
+"""Replicated-corpus scale check for the analytics/text operators.
+
+Builds deliberately enlarged copies of the sf0.1 tables under /tmp —
+documents x100 (500k docs; every content string carries 100 exact
+duplicates: a hot-key skew test) and events/orders x10 (1M events, 1.5M
+orders; user/customer keys offset per replica so the per-user densities
+stay realistic) — then times each operator end-to-end and prints one JSON
+line of rows/sec. Used for the BASELINE.md "scale check" table
+(VERDICT r2 item 8: before/after evidence for the formerly driver-bound
+ops: as-of join, range join, sessionize, sliding windows, cohort
+retention, tfidf).
+
+Usage: python scripts/scale_check.py [op ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = "/tmp/rayquality_scalecheck"
+
+
+def _replicate(src: str, out_dir: str, n_rep: int, id_cols: dict[str, int]) -> str:
+    """Write n_rep offset copies of a parquet table (one shard per copy).
+    ``id_cols`` maps column -> per-replica offset stride."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        return out_dir
+    base = pd.read_parquet(src)
+    for r in range(n_rep):
+        df = base.copy()
+        for c, stride in id_cols.items():
+            df[c] = df[c] + r * stride
+        df.to_parquet(os.path.join(out_dir, f"rep-{r:03d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    docs_dir = _replicate(
+        f"{SF_DIR}/documents.parquet", BIG + "/docs100", 100, {"doc_id": 1_000_000}
+    )
+    ev_dir = _replicate(
+        f"{SF_DIR}/events.parquet",
+        BIG + "/events10",
+        10,
+        {"event_id": 10_000_000, "user_id": 1_000_000},
+    )
+    ord_dir = _replicate(
+        f"{SF_DIR}/orders.parquet",
+        BIG + "/orders10",
+        10,
+        {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    )
+
+    def docs() -> rd.Dataset:
+        return rd.read_parquet(sorted(glob.glob(docs_dir + "/*.parquet")))
+
+    def events() -> rd.Dataset:
+        return rd.read_parquet(sorted(glob.glob(ev_dir + "/*.parquet")))
+
+    def orders() -> rd.Dataset:
+        return rd.read_parquet(sorted(glob.glob(ord_dir + "/*.parquet")))
+
+    n_docs = docs().count()
+    n_ev = events().count()
+
+    from rayquality.ops import asof, text, windows
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, n_rows: int, fn) -> None:
+        if only and name not in only:
+            return
+        t0 = time.time()
+        out = fn()
+        n_out = out.count() if isinstance(out, rd.Dataset) else len(out)
+        dt = time.time() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "rows_in": n_rows,
+            "rows_out": int(n_out),
+            "rows_per_sec": round(n_rows / dt),
+        }
+
+    run("tfidf_top_terms", n_docs, lambda: text.tfidf_top_terms(docs(), k=3))
+    run("sessionize", n_ev, lambda: windows.sessionize(events(), gap_minutes=30))
+    run(
+        "sliding_windows",
+        n_ev,
+        lambda: windows.sliding_window_counts(events(), window_minutes=60, slide_minutes=15),
+    )
+    run("cohort_retention", n_ev, lambda: windows.cohort_retention(events()))
+    run(
+        "asof_join",
+        n_ev,
+        lambda: asof.asof_join(
+            events(),
+            orders(),
+            key_left="user_id",
+            key_right="o_custkey",
+            ts_left="ts",
+            ts_right="o_orderdate",
+            left_cols=["event_id", "user_id", "ts"],
+            right_cols=["o_orderkey", "o_orderdate"],
+            tiebreak="o_orderkey",
+        ),
+    )
+
+    def _range_join():
+        import pyarrow as pa
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.select(["event_id", "user_id", "ts"]).rename_columns(
+                ["event_id_b", "user_id", "ts_b"]
+            )
+
+        return asof.range_join(
+            events(),
+            events().map_batches(rename, batch_format="pyarrow"),
+            key_left="user_id",
+            key_right="user_id",
+            ts_left="ts",
+            ts_right="ts_b",
+            left_cols=["event_id", "user_id", "ts"],
+            right_cols=["event_id_b", "ts_b"],
+            before=pd.Timedelta(minutes=30),
+            after=pd.Timedelta(minutes=30),
+        )
+
+    run("range_join", n_ev, _range_join)
+
+    print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "ops": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
