@@ -517,6 +517,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def decontaminate_documents(sf):
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        # fixed probe "eval-set n-grams" (present in the synthetic corpus)
+        probes = ["big order scan", "group slow spark", "slow filter value"]
+        out = curation.decontaminate(docs, probes).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def training_shuffle_documents(sf):
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        out = curation.training_shuffle(docs, n_shards=8).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def repetition_ratio_documents(sf):
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        out = curation.repetition_ratio(docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -729,10 +752,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": cohort_retention_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
         # ---- past the gate window ------------------------------------------
-        # heavy_hitters_orders IS oracled (exact-verified Misra-Gries) but
-        # sits at position 51: the 50 in-window slots are taken; the local
-        # gate (scripts/check_driver.py) certifies it instead
+        # these ARE oracled but sit past position 50: the 50 in-window slots
+        # are taken; the local gate (scripts/check_driver.py) certifies them
         "heavy_hitters_orders": heavy_hitters_orders,
+        "decontaminate_documents": decontaminate_documents,
+        "training_shuffle_documents": training_shuffle_documents,
+        "repetition_ratio_documents": repetition_ratio_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1030,6 +1055,35 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority "
             "HAVING COUNT(*) * 8 > (SELECT COUNT(o_orderpriority) FROM orders) "
             "ORDER BY cnt DESC, value"
+        ),
+        "decontaminate_documents": (
+            "SELECT doc_id, ("
+            "  contains(COALESCE(text, ''), 'big order scan') OR "
+            "  contains(COALESCE(text, ''), 'group slow spark') OR "
+            "  contains(COALESCE(text, ''), 'slow filter value')"
+            ") AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "training_shuffle_documents": (
+            "WITH k AS (SELECT doc_id, "
+            "  (doc_id * 2654435761) % 4294967296 AS hkey FROM documents) "
+            "SELECT doc_id, hkey % 8 AS shard, "
+            "  ROW_NUMBER() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) AS pos "
+            "FROM k ORDER BY doc_id"
+        ),
+        "repetition_ratio_documents": (
+            "WITH toks AS (SELECT doc_id, CASE "
+            "  WHEN trim(COALESCE(text, '')) = '' THEN []::VARCHAR[] "
+            "  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w "
+            "  FROM documents), "
+            "bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+            "  [array_to_string(list_slice(w, i+1, i+2), ' ') FOR i IN range(len(w) - 1)] "
+            "  ELSE []::VARCHAR[] END AS b FROM toks) "
+            "SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bigrams, "
+            "  CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct, "
+            "  CAST(ROUND(CASE WHEN len(b) > 0 THEN "
+            "    (1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)) * 1000000 "
+            "    ELSE 0 END) AS BIGINT) AS rep_micro "
+            "FROM bg ORDER BY doc_id"
         ),
         "pii_scrub_documents": _pii_scrub_sql(),
         "dedup_clusters_documents": (

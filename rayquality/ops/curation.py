@@ -1,0 +1,156 @@
+"""Training-data curation extras: decontamination, deterministic training
+shuffle, and Gopher-style repetition signals.
+
+These extend the reference's rule suite (validators -> report,
+``src/data_quality/validators/`` in /root/reference) toward the operations
+an LLM-pretraining pipeline runs over a 100-TB corpus; each op is a
+vectorized ``map_batches``/hash-partition plan with a DuckDB-expressible
+contract so the driver gate can hash-verify it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from . import quant
+
+_KNUTH = np.uint64(2654435761)
+_H32 = np.uint64(1 << 32)
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    probes: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Benchmark decontamination: flag documents containing ANY probe
+    string (e.g. n-grams of an eval set) -> lazy (id, contaminated).
+
+    The probe list compiles ONCE into a single RE2 alternation; RE2 builds
+    a DFA, so each batch is scanned in one pass linear in the text bytes
+    regardless of probe count — the same reason production decontamination
+    uses Aho-Corasick. Probes ride the closure (serialized once per task
+    lifetime, not per batch); for probe sets too big for a regex, swap the
+    stage to an actor pool holding the automaton in ``__init__`` — the
+    plan shape does not change.
+
+    Null text counts as clean-empty (matches the pipeline's fill_null).
+    """
+    import re as _re
+
+    pattern = "|".join(_re.escape(p) for p in probes)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col].combine_chunks().cast(pa.string()), "")
+        hit = pc.match_substring_regex(txt, pattern)
+        return pa.table({id_col: t[id_col], "contaminated": hit})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
+
+
+def training_shuffle(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> rd.Dataset:
+    """Deterministic pre-training shuffle: assign every row a (shard, pos)
+    so downstream training reads shards in order and gets a fixed
+    pseudo-random permutation — reproducible across runs and resumable,
+    unlike ``random_shuffle()``.
+
+    shard = knuth_hash(id) % n_shards; pos = rank within the shard by
+    (hash, id). One hash-partition shuffle; each partition sorts only its
+    own shard (never a global sort). SQL contract:
+    ``ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, id)``.
+    """
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hk = (ids * _KNUTH) % _H32
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "hkey": pa.array(hk.astype(np.int64)),
+                "shard": pa.array((hk % np.uint64(n_shards)).astype(np.int64)),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", id_col], kind="stable")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shard": g["shard"].to_numpy(np.int64),
+                "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col])
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def repetition_ratio(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Gopher-style repetition signal: per document, the fraction of word
+    bigrams that are repeats (1 - distinct/total) -> lazy
+    (id, n_bigrams, n_distinct, rep_micro).
+
+    One vectorized explode+groupby per batch (each document is complete
+    within its batch, so no shuffle is needed at all); the ratio is
+    quantized to integer micro-units with half-away rounding so the DuckDB
+    oracle (list-comprehension bigrams) hashes exactly.
+    """
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.lower().str.split()
+        n_tok = toks.str.len().to_numpy(np.int64)
+        total = np.maximum(n_tok - 1, 0)
+        # explode bigrams: join consecutive tokens (vectorized via shift)
+        flat = toks.explode()
+        flat = flat[flat.notna()]
+        idx = flat.index.to_numpy()
+        words = flat.to_numpy(object)
+        same = np.empty(len(idx), dtype=bool)
+        if len(idx):
+            same[:-1] = idx[:-1] == idx[1:]
+            same[-1] = False
+        big_idx = idx[same]
+        bigrams = np.char.add(
+            np.char.add(words[same].astype(str), " "),
+            words[np.nonzero(same)[0] + 1].astype(str),
+        )
+        if len(big_idx):
+            bg = pd.DataFrame({"i": big_idx, "b": bigrams})
+            dist = bg.groupby("i")["b"].nunique()
+            n_distinct = dist.reindex(df.index, fill_value=0).to_numpy(np.int64)
+        else:
+            n_distinct = np.zeros(len(df), np.int64)
+        # a doc with <2 tokens has no bigrams -> repetition 0, not 1
+        rep = np.where(total > 0, 1.0 - n_distinct / np.maximum(total, 1), 0.0)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_bigrams": total,
+                "n_distinct": n_distinct,
+                "rep_micro": quant.quantize_i64(rep, 1e6),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas"
+    )

@@ -1083,3 +1083,66 @@ def test_semantic_dedup_group_cap_guard(rd):
         rd.from_pandas(df), k=None, rows_per_cluster=50, iters=1, threshold=0.999
     ).to_pandas()
     assert len(out2) == n
+
+
+def test_decontaminate_naive(rd):
+    from rayquality.ops.curation import decontaminate
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    probes = ["big order scan", "group slow spark"]
+    got = (
+        decontaminate(docs, probes)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    want = pdf["text"].fillna("").map(lambda s: any(p in s for p in probes)).to_numpy()
+    assert (got["contaminated"].to_numpy() == want).all()
+    assert got["contaminated"].any(), "probes chosen to hit the synthetic corpus"
+    # regex metacharacters in probes must be escaped (literal match)
+    got2 = decontaminate(docs, ["a.c"]).to_pandas()
+    assert not got2["contaminated"].any()
+
+
+def test_training_shuffle_deterministic_permutation(rd):
+    from rayquality.ops.curation import training_shuffle
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    a = training_shuffle(docs, n_shards=8).to_pandas().sort_values("doc_id")
+    b = training_shuffle(docs, n_shards=8).to_pandas().sort_values("doc_id")
+    # deterministic across runs (block arrival order must not matter)
+    assert a["shard"].tolist() == b["shard"].tolist()
+    assert a["pos"].tolist() == b["pos"].tolist()
+    # (shard, pos) is a proper enumeration: positions 1..|shard| per shard
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(1, len(g) + 1))
+    # it's a permutation of all docs
+    assert sorted(a["doc_id"].tolist()) == sorted(
+        pd.read_parquet(f"{SF}/documents.parquet")["doc_id"].tolist()
+    )
+
+
+def test_repetition_ratio_naive(rd):
+    from rayquality.ops.curation import repetition_ratio
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b a b a b",  # bigrams: ab ba ab ba ab -> 2 distinct / 5
+                "x y z",  # 2 bigrams, both distinct -> rep 0
+                "solo",  # no bigrams -> rep 0
+                None,  # null text -> rep 0
+            ],
+        }
+    )
+    got = (
+        repetition_ratio(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_bigrams"].tolist() == [5, 2, 0, 0]
+    assert got["n_distinct"].tolist() == [2, 2, 0, 0]
+    assert got["rep_micro"].tolist() == [600000, 0, 0, 0]
