@@ -540,6 +540,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = curation.repetition_ratio(docs).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def incremental_dedup_documents(sf):
+        """Continuous ingestion: even doc_ids are the seen corpus (persisted
+        hash index); the whole table arrives as the next shard, so every
+        even doc (and any odd doc sharing an even doc's content) must flag
+        as already-seen while the rest flag novel."""
+        import pyarrow as pa
+
+        from rayquality.ops import increment
+
+        (docs,) = _tables(sf, "documents")
+
+        def evens(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+        idx = f"/tmp/rayquality_incidx_{_sf_of(sf)}"
+        increment.build_hash_index(
+            docs.map_batches(evens, batch_format="pyarrow"), idx, n_buckets=16
+        )
+        (docs2,) = _tables(sf, "documents")
+        out = increment.dedup_against_index(docs2, idx).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -758,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": decontaminate_documents,
         "training_shuffle_documents": training_shuffle_documents,
         "repetition_ratio_documents": repetition_ratio_documents,
+        "incremental_dedup_documents": incremental_dedup_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1069,6 +1094,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, hkey % 8 AS shard, "
             "  ROW_NUMBER() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) AS pos "
             "FROM k ORDER BY doc_id"
+        ),
+        "incremental_dedup_documents": (
+            "SELECT n.doc_id, COALESCE(n.text, '') NOT IN ("
+            "  SELECT COALESCE(text, '') FROM documents WHERE doc_id % 2 = 0"
+            ") AS novel FROM documents n ORDER BY n.doc_id"
         ),
         "repetition_ratio_documents": (
             "WITH toks AS (SELECT doc_id, CASE "

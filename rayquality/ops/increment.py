@@ -1,0 +1,142 @@
+"""Incremental dedup against a persisted corpus hash index — the
+continuous-ingestion workflow: a 100-TB corpus is curated once, then new
+shards arrive daily and must dedup against EVERYTHING seen so far without
+rescanning it.
+
+Design (mirrors the persisted IVF index, ops/ann.py): the seen-corpus
+index is hive-partitioned parquet of 16-byte content hashes bucketed by
+hash prefix (``bucket=N/``). Checking a new shard reads ONLY the buckets
+its own hashes touch (directory-level IO pruning): for a small increment
+against a huge index, bytes read scale with the increment, not the corpus.
+The new shard's hash set broadcasts once (``ray.put`` — increments are the
+small side by definition); matches stream back as the (hash, seen) table.
+
+Generalizes the reference's uniqueness validator
+(``src/data_quality/validators/duplicates.py`` in /root/reference, which
+recounts the full table every run) to an append-only corpus.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _hash_batch(t: pa.Table, id_col: str, text_col: str) -> tuple[np.ndarray, list[str]]:
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t[text_col].combine_chunks().cast(pa.string()), "")
+    hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in txt.to_pylist()]
+    return t[id_col].to_numpy(zero_copy_only=False), hs
+
+
+def build_hash_index(
+    ds: rd.Dataset,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """One streaming pass: hash every document's content, bucket by the
+    hash's leading byte(s) modulo ``n_buckets``, write hive-partitioned
+    (hash, min_id) parquet. Per-batch combiner collapses duplicate hashes
+    before the write; the partitioned write is resumable per-bucket output
+    like every sink in this repo. At 10^12 docs raise n_buckets so one
+    bucket's hash file stays a few GB (the hashes are 16 bytes/doc —
+    ~0.02% of a text corpus)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids, hs = _hash_batch(t, id_col, text_col)
+        df = (
+            pd.DataFrame({"h": hs, id_col: ids})
+            .groupby("h", as_index=False)[id_col]
+            .min()
+        )
+        bucket = np.array(
+            [int(h[:8], 16) % n_buckets for h in df["h"]], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "h": pa.array(df["h"], pa.string()),
+                id_col: pa.array(df[id_col].to_numpy()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    ds.select_columns([id_col, text_col]).map_batches(
+        tag, batch_format="pyarrow"
+    ).write_parquet(path, partition_cols=["bucket"], mode="overwrite")
+    meta = {"n_buckets": int(n_buckets), "id_col": id_col}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"path": path, **meta}
+
+
+def dedup_against_index(
+    new_docs: rd.Dataset,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Flag each new document as novel or already-seen -> lazy
+    (id, novel: bool).
+
+    Plan: hash the increment (streaming), collect its DISTINCT hash set
+    (small side — the increment), broadcast it, read ONLY the index
+    buckets those hashes touch, and stream the membership verdict back
+    over the increment. The index is never scanned in full.
+    """
+    meta = json.load(open(os.path.join(index_path, "_meta.json")))
+    n_buckets = meta["n_buckets"]
+
+    def hash_only(t: pa.Table) -> pa.Table:
+        ids, hs = _hash_batch(t, id_col, text_col)
+        return pa.table({id_col: pa.array(ids), "h": pa.array(hs, pa.string())})
+
+    hashed = new_docs.select_columns([id_col, text_col]).map_batches(
+        hash_only, batch_format="pyarrow"
+    ).materialize()  # consumed twice: probe + verdict; 16-byte rows
+
+    new_hashes = np.unique(
+        np.concatenate(
+            [t["h"].to_numpy(zero_copy_only=False) for t in ray.get(hashed.to_arrow_refs()) if t.num_columns]
+        )
+    )
+    probe_ref = ray.put(new_hashes)
+    touched = np.unique([int(h[:8], 16) % n_buckets for h in new_hashes.tolist()])
+    files = [
+        f
+        for b in touched.tolist()
+        for f in sorted(_glob.glob(os.path.join(index_path, f"bucket={b}", "*.parquet")))
+    ]
+
+    def match(t: pa.Table) -> pa.Table:
+        probe = ray.get(probe_ref)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        return t.select(["h"]).filter(pa.array(np.isin(hs, probe)))
+
+    seen_set: set[str] = set()
+    if files:
+        seen = rd.read_parquet(files, columns=["h"]).map_batches(
+            match, batch_format="pyarrow"
+        ).to_pandas()  # bounded by the increment's distinct-hash count
+        # an all-empty result arrives COLUMN-LESS from Ray — treat as no hits
+        if "h" in seen.columns:
+            seen_set = set(seen["h"].tolist())
+    seen_ref = ray.put(seen_set)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        sset = ray.get(seen_ref)
+        hs = t["h"].to_pylist()
+        novel = pa.array([h not in sset for h in hs])
+        return pa.table({id_col: t[id_col], "novel": novel})
+
+    return hashed.map_batches(verdict, batch_format="pyarrow")

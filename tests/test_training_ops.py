@@ -1146,3 +1146,38 @@ def test_repetition_ratio_naive(rd):
     assert got["n_bigrams"].tolist() == [5, 2, 0, 0]
     assert got["n_distinct"].tolist() == [2, 2, 0, 0]
     assert got["rep_micro"].tolist() == [600000, 0, 0, 0]
+
+
+def test_incremental_dedup_index(rd, tmp_path):
+    """Hash-index build + increment check: seen docs flag novel=False, new
+    docs novel=True; the probe read touches only the increment's buckets."""
+    import glob
+    import os
+
+    from rayquality.ops.increment import build_hash_index, dedup_against_index
+
+    seen = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha beta", "gamma delta", "epsilon zeta"]}
+    )
+    idx = str(tmp_path / "idx")
+    build_hash_index(rd.from_pandas(seen), idx, n_buckets=8)
+    assert glob.glob(idx + "/bucket=*/*.parquet")
+
+    inc = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": ["gamma delta", "brand new doc", "alpha beta", None],
+        }
+    )
+    out = (
+        dedup_against_index(rd.from_pandas(inc), idx)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["novel"].tolist() == [False, True, False, True]
+
+    # empty-overlap increment: nothing seen, everything novel
+    inc2 = pd.DataFrame({"doc_id": [20], "text": ["totally unseen"]})
+    out2 = dedup_against_index(rd.from_pandas(inc2), idx).to_pandas()
+    assert out2["novel"].tolist() == [True]
