@@ -564,6 +564,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = increment.dedup_against_index(docs2, idx).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def minmax_normalize_orders(sf):
+        from rayquality.ops import cleanse
+
+        (orders,) = _tables(sf, "orders")
+        out = cleanse.minmax_normalize(
+            orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+        ).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -783,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle_documents": training_shuffle_documents,
         "repetition_ratio_documents": repetition_ratio_documents,
         "incremental_dedup_documents": incremental_dedup_documents,
+        "minmax_normalize_orders": minmax_normalize_orders,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1099,6 +1109,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, COALESCE(n.text, '') NOT IN ("
             "  SELECT COALESCE(text, '') FROM documents WHERE doc_id % 2 = 0"
             ") AS novel FROM documents n ORDER BY n.doc_id"
+        ),
+        "minmax_normalize_orders": (
+            "WITH c AS (SELECT o_orderkey, o_orderpriority, "
+            "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+            "s AS (SELECT o_orderpriority, MIN(cents) AS mn, MAX(cents) AS mx "
+            "  FROM c GROUP BY o_orderpriority) "
+            "SELECT o_orderkey, c.o_orderpriority, "
+            "  CASE WHEN mx = mn THEN 0 ELSE "
+            "    CAST(ROUND((cents - mn) * 1000000.0 / (mx - mn)) AS BIGINT) "
+            "  END AS scaled_micro "
+            "FROM c JOIN s USING (o_orderpriority) ORDER BY o_orderkey"
         ),
         "repetition_ratio_documents": (
             "WITH toks AS (SELECT doc_id, CASE "

@@ -43,3 +43,80 @@ def clean_columns(
         return pa.table(cols)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def minmax_normalize(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> rd.Dataset:
+    """Per-group min-max feature scaling -> lazy
+    (id, group, scaled_micro in [0, 1e6]).
+
+    Two streaming stages with a broadcast of O(groups) stats — the
+    canonical "small aggregate, then rewrite" normalization plan:
+
+    1. per-batch (group, min, max) partials over integer CENTS ->
+       hash-partition combine -> tiny stats table -> ``ray.put``;
+    2. per-row ``round((cents - mn) * 1e6 / (mx - mn))`` — every operand
+       is an exact integer before the single float division, and the
+       expression is written identically in the SQL oracle, so the two
+       sides compute bit-identical doubles and can never hash-diverge
+       (unlike mean/stddev z-scores, where streaming-variance algorithms
+       differ across engines).
+
+    A constant group (mx == mn) scales to 0.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from . import quant
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = quant.cents_np(df[value_col].to_numpy(np.float64))
+        g = pd.DataFrame({group_col: df[group_col], "c": c}).groupby(
+            group_col, as_index=False
+        )["c"]
+        out = g.min().rename(columns={"c": "mn"})
+        out["mx"] = g.max()["c"]
+        return out
+
+    from .combine import combine_partials
+
+    stats = combine_partials(
+        ds.select_columns([group_col, value_col]).map_batches(
+            stat_partial, batch_format="pandas"
+        ),
+        keys=[group_col],
+        sums=[],
+        mins=["mn"],
+        maxs=["mx"],
+    ).to_pandas()  # O(groups): the small side
+    stats_ref = ray.put(
+        {g: (int(mn), int(mx)) for g, mn, mx in zip(stats[group_col], stats["mn"], stats["mx"])}
+    )
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(stats_ref)
+        c = quant.cents_np(df[value_col].to_numpy(np.float64))
+        mn = df[group_col].map(lambda g: sm[g][0]).to_numpy(np.int64)
+        mx = df[group_col].map(lambda g: sm[g][1]).to_numpy(np.int64)
+        span = mx - mn
+        scaled = np.where(
+            span > 0,
+            quant.quantize_i64((c - mn) * 1e6 / np.maximum(span, 1), 1.0),
+            0,
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                group_col: df[group_col].to_numpy(),
+                "scaled_micro": scaled.astype(np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        scale, batch_format="pandas"
+    )

@@ -26,9 +26,10 @@ def combine_partials(
     sums: list[str],
     n_parts: int = DEFAULT_N_PARTS,
     mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ) -> rd.Dataset:
-    """Sum ``sums`` (and min ``mins``) per distinct ``keys`` tuple across
-    all partial rows."""
+    """Sum ``sums`` (min ``mins``, max ``maxs``) per distinct ``keys``
+    tuple across all partial rows."""
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(np.uint64)
@@ -39,9 +40,13 @@ def combine_partials(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: a null key value is a real group (e.g. the
         # null-value row of a value-counts table)
-        if not mins:
+        if not mins and not maxs:
             return g.groupby(keys, as_index=False, dropna=False)[sums].sum()
-        agg = {c: "sum" for c in sums} | {c: "min" for c in mins}
+        agg = (
+            {c: "sum" for c in sums}
+            | {c: "min" for c in (mins or [])}
+            | {c: "max" for c in (maxs or [])}
+        )
         return g.groupby(keys, as_index=False, dropna=False).agg(agg)
 
     return (

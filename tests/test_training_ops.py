@@ -1181,3 +1181,29 @@ def test_incremental_dedup_index(rd, tmp_path):
     inc2 = pd.DataFrame({"doc_id": [20], "text": ["totally unseen"]})
     out2 = dedup_against_index(rd.from_pandas(inc2), idx).to_pandas()
     assert out2["novel"].tolist() == [True]
+
+
+def test_minmax_normalize_naive(rd):
+    from rayquality.ops.cleanse import minmax_normalize
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    got = (
+        minmax_normalize(orders, "o_orderpriority", "o_totalprice", "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/orders.parquet").sort_values("o_orderkey")
+    c = np.floor(np.abs(pdf["o_totalprice"].to_numpy() * 100) + 0.5).astype(np.int64)
+    g = pdf["o_orderpriority"].to_numpy()
+    mn = pd.Series(c).groupby(g).transform("min").to_numpy()
+    mx = pd.Series(c).groupby(g).transform("max").to_numpy()
+    span = mx - mn
+    x = (c - mn) * 1e6 / np.maximum(span, 1)
+    want = np.where(span > 0, (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64), 0)
+    assert (got["scaled_micro"].to_numpy() == want).all()
+    assert got["scaled_micro"].min() >= 0 and got["scaled_micro"].max() <= 1_000_000
+    # a constant group scales to zero
+    one = pd.DataFrame({"k": [1, 2], "g": ["a", "a"], "v": [5.0, 5.0]})
+    out = minmax_normalize(rd.from_pandas(one), "g", "v", "k").to_pandas()
+    assert out["scaled_micro"].tolist() == [0, 0]
