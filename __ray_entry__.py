@@ -564,6 +564,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = increment.dedup_against_index(docs2, idx).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def consistency_orders_lineitem(sf):
+        orders, li = _tables(sf, "orders", "lineitem")
+        out = validators.aggregate_consistency(
+            orders, li, "o_orderkey", "l_orderkey", "o_totalprice", "l_extendedprice"
+        ).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
     def minmax_normalize_orders(sf):
         from rayquality.ops import cleanse
 
@@ -793,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio_documents": repetition_ratio_documents,
         "incremental_dedup_documents": incremental_dedup_documents,
         "minmax_normalize_orders": minmax_normalize_orders,
+        "consistency_orders_lineitem": consistency_orders_lineitem,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1109,6 +1117,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, COALESCE(n.text, '') NOT IN ("
             "  SELECT COALESCE(text, '') FROM documents WHERE doc_id % 2 = 0"
             ") AS novel FROM documents n ORDER BY n.doc_id"
+        ),
+        "consistency_orders_lineitem": (
+            "WITH li AS (SELECT l_orderkey, "
+            "  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS child_cents, "
+            "  COUNT(*) AS n_children FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS parent_cents, "
+            "  COALESCE(child_cents, 0) AS child_cents, "
+            "  COALESCE(n_children, 0) AS n_children, "
+            "  CAST(ROUND(o_totalprice * 100) AS BIGINT) - COALESCE(child_cents, 0) AS diff_cents "
+            "FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey "
+            "ORDER BY o_orderkey"
         ),
         "minmax_normalize_orders": (
             "WITH c AS (SELECT o_orderkey, o_orderpriority, "

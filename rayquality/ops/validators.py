@@ -490,3 +490,79 @@ def volumetry(ds: rd.Dataset) -> dict:
         "estimated_disk_mb": round(size * 2.5 / 1024 / 1024, 2),
         "data_points": int(rows * cols),
     }
+
+
+def aggregate_consistency(
+    parent: rd.Dataset,
+    child: rd.Dataset,
+    parent_key: str,
+    child_key: str,
+    parent_value: str,
+    child_value: str,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Cross-table CONSISTENCY check: per parent row, compare its stored
+    aggregate against the exact sum over its child rows -> lazy
+    (parent_key, parent_cents, child_cents, n_children, diff_cents).
+
+    Extends the reference's single-table validator suite
+    (``src/data_quality/validators/`` in /root/reference) with the
+    conformance check a warehouse runs across tables (e.g. order header
+    total vs line-item sum). Plan: map-side combiner on the child (one
+    (key, sum, count) partial row per key per batch — bounds hot parents)
+    -> hash-partition combine -> ``Dataset.join`` (hash-partitioned,
+    left_outer so childless parents surface with n_children = 0) -> one
+    vectorized diff pass. Money moves as integer cents end-to-end.
+    """
+    import pyarrow.compute as pc
+
+    from .combine import combine_partials
+    from .quant import cents_pa
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({child_key: t[child_key], "c": cents_pa(t[child_value])})
+            .group_by(child_key)
+            .aggregate([("c", "sum"), ("c", "count")])
+        )
+        return g.rename_columns([child_key, "child_cents", "n_children"])
+
+    child_agg = combine_partials(
+        child.select_columns([child_key, child_value]).map_batches(
+            child_partial, batch_format="pyarrow"
+        ),
+        keys=[child_key],
+        sums=["child_cents", "n_children"],
+    )
+
+    def parent_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {parent_key: t[parent_key], "parent_cents": cents_pa(t[parent_value])}
+        )
+
+    j = (
+        parent.select_columns([parent_key, parent_value])
+        .map_batches(parent_cents, batch_format="pyarrow")
+        .join(
+            child_agg,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(parent_key,),
+            right_on=(child_key,),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cc = pc.fill_null(t["child_cents"].combine_chunks().cast(pa.int64()), 0)
+        nc = pc.fill_null(t["n_children"].combine_chunks().cast(pa.int64()), 0)
+        return pa.table(
+            {
+                parent_key: t[parent_key],
+                "parent_cents": t["parent_cents"],
+                "child_cents": cc,
+                "n_children": nc,
+                "diff_cents": pc.subtract(t["parent_cents"].combine_chunks(), cc),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -1207,3 +1207,34 @@ def test_minmax_normalize_naive(rd):
     one = pd.DataFrame({"k": [1, 2], "g": ["a", "a"], "v": [5.0, 5.0]})
     out = minmax_normalize(rd.from_pandas(one), "g", "v", "k").to_pandas()
     assert out["scaled_micro"].tolist() == [0, 0]
+
+
+def test_aggregate_consistency_naive(rd):
+    from rayquality.ops.validators import aggregate_consistency
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = (
+        aggregate_consistency(
+            orders, li, "o_orderkey", "l_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{SF}/orders.parquet").sort_values("o_orderkey")
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    lc = np.floor(np.abs(l["l_extendedprice"].to_numpy() * 100) + 0.5).astype(np.int64)
+    agg = pd.DataFrame({"k": l["l_orderkey"], "c": lc}).groupby("k")["c"].agg(["sum", "size"])
+    want_child = agg["sum"].reindex(o["o_orderkey"], fill_value=0).to_numpy(np.int64)
+    want_n = agg["size"].reindex(o["o_orderkey"], fill_value=0).to_numpy(np.int64)
+    assert len(got) == len(o)
+    assert (got["child_cents"].to_numpy() == want_child).all()
+    assert (got["n_children"].to_numpy() == want_n).all()
+    assert (
+        got["diff_cents"].to_numpy()
+        == got["parent_cents"].to_numpy() - got["child_cents"].to_numpy()
+    ).all()
+    # orders without lineitems (if any) surface with n_children = 0, and
+    # every order appears exactly once (left-outer semantics)
+    assert got["o_orderkey"].is_unique
