@@ -67,22 +67,28 @@ def run_bench() -> dict:
             fh.read()
 
     out = "/tmp/rayquality_bench_out"
+    cfg = RunConfig(
+        output_dir=out,
+        # proportional to the session size so the 8-vs-32 scaling
+        # comparison exercises a true 4x compute parallelism ratio
+        scorer_concurrency=max(2, (num_cpus * 3) // 4),
+        batch_size=512,
+        wave_size=10_000,  # one checkpoint wave for the timed run
+        write_kept=write_kept,
+        store_bytes=write_kept,
+        resume=False,
+    )
+    # one untimed warm-up run: the first pipeline execution in a fresh Ray
+    # session pays worker spin-up + import + page-cache costs that have
+    # nothing to do with steady-state throughput (observed 20 s cold vs
+    # 13.5 s warm at constant code); the reported headline is the warm run.
+    # Disabled in the scaling ladder (both levels share the protocol).
+    if os.environ.get("RAYQUALITY_BENCH_WARMUP", "1") == "1":
+        shutil.rmtree(out, ignore_errors=True)
+        pipeline.run(corpus, cfg)
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    summary = pipeline.run(
-        corpus,
-        RunConfig(
-            output_dir=out,
-            # proportional to the session size so the 8-vs-32 scaling
-            # comparison exercises a true 4x compute parallelism ratio
-            scorer_concurrency=max(2, (num_cpus * 3) // 4),
-            batch_size=512,
-            wave_size=10_000,  # one checkpoint wave for the timed run
-            write_kept=write_kept,
-            store_bytes=write_kept,
-            resume=False,
-        ),
-    )
+    summary = pipeline.run(corpus, cfg)
     headline = time.time() - t0
 
     queries = {}
@@ -233,6 +239,7 @@ def run_scaling() -> dict:
             RAYQUALITY_BENCH_IMAGES=os.environ.get("RAYQUALITY_BENCH_IMAGES", "600000"),
             RAYQUALITY_BENCH_WRITE_KEPT="0",
             RAYQUALITY_BENCH_SKIP_QUERIES="1",
+            RAYQUALITY_BENCH_WARMUP="0",  # same protocol at both levels
         )
         cmd = [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")]
         # ray.init(num_cpus=N) only caps SCHEDULING tokens — worker threads
