@@ -36,8 +36,19 @@ def to_gray(img: np.ndarray) -> np.ndarray:
     return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
 
 
-def resize_bilinear(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    h, w = gray.shape
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _resize_plan(
+    h: int, w: int, out_h: int, out_w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Bilinear index/weight arrays for one (h, w) -> (out_h, out_w) map.
+
+    Cached: a corpus has few distinct image sizes relative to its row
+    count, and recomputing these per IMAGE was ~half the resize cost in
+    the scorer profile. Pure function of the shapes — identical values to
+    computing inline, so hashes are unchanged."""
     ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
     y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
@@ -46,13 +57,23 @@ def resize_bilinear(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.clip(x0 + 1, 0, w - 1)
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
-    tl = gray[np.ix_(y0, x0)]
-    tr = gray[np.ix_(y0, x1)]
-    bl = gray[np.ix_(y1, x0)]
-    br = gray[np.ix_(y1, x1)]
+    return y0, y1, x0, x1, wy, wx
+
+
+def resize_bilinear(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = gray.shape
+    y0, y1, x0, x1, wy, wx = _resize_plan(h, w, out_h, out_w)
+    # gray[y[:, None], x[None, :]] == gray[np.ix_(y, x)], minus ix_ overhead
+    tl = gray[y0[:, None], x0[None, :]]
+    tr = gray[y0[:, None], x1[None, :]]
+    bl = gray[y1[:, None], x0[None, :]]
+    br = gray[y1[:, None], x1[None, :]]
     top = tl * (1 - wx) + tr * wx
     bot = bl * (1 - wx) + br * wx
     return top * (1 - wy) + bot * wy
+
+
+_BIT_SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)
 
 
 def phash64(img: np.ndarray) -> int:
@@ -65,13 +86,15 @@ def phash64(img: np.ndarray) -> int:
     coeffs = _DCT32 @ small @ _DCT32.T
     low = coeffs[:_LOW, :_LOW]
     flat = low.flatten()
-    med = np.median(flat[1:])  # exclude DC from the threshold
+    # median of the 63 AC coefficients (odd count -> the exact middle
+    # order statistic; np.partition returns the same value np.median would,
+    # without its generic-dispatch overhead in a per-image hot loop)
+    med = np.partition(flat[1:], 31)[31]
     # epsilon guard: flat images have ~1e-13 numerical noise in the AC
     # coefficients; without it the bits would be arbitrary per input size
     bits = ((flat - med) > 1e-8).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    # disjoint bit positions -> OR-reduce of shifted bits == the shift loop
+    val = np.bitwise_or.reduce(bits << _BIT_SHIFTS)
     return int(val.astype(np.int64))
 
 
