@@ -301,7 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["o_orderkey", "o_orderdate"],
             tiebreak="o_orderkey",
         )
-        return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+        # asof.collect, not raw to_pandas: an all-empty join loses columns
+        return asof.collect(out).sort_values("event_id").reset_index(drop=True)
 
     def range_join_cooccur_events(sf):
         import pandas as pd
@@ -328,7 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             before=pd.Timedelta(minutes=30),
             after=pd.Timedelta(minutes=30),
         )
-        out = out.to_pandas()
+        out = asof.collect(out)
         out = out[out["event_id"] < out["event_id_b"]]
         return out.sort_values(["event_id", "event_id_b"]).reset_index(drop=True)
 
@@ -1141,9 +1142,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN s USING (o_orderpriority) ORDER BY o_orderkey"
         ),
         "repetition_ratio_documents": (
-            "WITH toks AS (SELECT doc_id, CASE "
-            "  WHEN trim(COALESCE(text, '')) = '' THEN []::VARCHAR[] "
-            "  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w "
+            # regexp_extract_all (never string_split_regex+trim): the engine
+            # tokenizes with pandas str.split() which yields no empty edge
+            # tokens; trim() strips only spaces, so a trailing \n or \t
+            # would leave an empty token on the SQL side and skew bigrams
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS w "
             "  FROM documents), "
             "bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
             "  [array_to_string(list_slice(w, i+1, i+2), ' ') FOR i IN range(len(w) - 1)] "

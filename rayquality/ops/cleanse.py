@@ -76,8 +76,11 @@ def minmax_normalize(
 
     def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
         c = quant.cents_np(df[value_col].to_numpy(np.float64))
+        # dropna=False: a null group value is a real group (same contract
+        # as combine_partials — silently dropping it would crash the scale
+        # pass on its rows)
         g = pd.DataFrame({group_col: df[group_col], "c": c}).groupby(
-            group_col, as_index=False
+            group_col, as_index=False, dropna=False
         )["c"]
         out = g.min().rename(columns={"c": "mn"})
         out["mx"] = g.max()["c"]
@@ -94,15 +97,15 @@ def minmax_normalize(
         mins=["mn"],
         maxs=["mx"],
     ).to_pandas()  # O(groups): the small side
-    stats_ref = ray.put(
-        {g: (int(mn), int(mx)) for g, mn, mx in zip(stats[group_col], stats["mn"], stats["mx"])}
-    )
+    stats_ref = ray.put(stats)
 
     def scale(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(stats_ref)
+        sm: pd.DataFrame = ray.get(stats_ref)
         c = quant.cents_np(df[value_col].to_numpy(np.float64))
-        mn = df[group_col].map(lambda g: sm[g][0]).to_numpy(np.int64)
-        mx = df[group_col].map(lambda g: sm[g][1]).to_numpy(np.int64)
+        # vectorized null-safe lookup: pandas merge joins null==null keys
+        j = df[[group_col]].merge(sm, on=group_col, how="left")
+        mn = j["mn"].to_numpy(np.int64)
+        mx = j["mx"].to_numpy(np.int64)
         span = mx - mn
         scaled = np.where(
             span > 0,

@@ -46,6 +46,15 @@ def decontaminate(
     pattern = "|".join(_re.escape(p) for p in probes)
 
     def per_batch(t: pa.Table) -> pa.Table:
+        if not pattern:
+            # empty probe list: NOTHING is contaminated (the empty regex
+            # alternation '' would match every string and flag the corpus)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "contaminated": pa.array(np.zeros(t.num_rows, dtype=bool)),
+                }
+            )
         txt = pc.fill_null(t[text_col].combine_chunks().cast(pa.string()), "")
         hit = pc.match_substring_regex(txt, pattern)
         return pa.table({id_col: t[id_col], "contaminated": hit})

@@ -105,10 +105,15 @@ def dedup_against_index(
         hash_only, batch_format="pyarrow"
     ).materialize()  # consumed twice: probe + verdict; 16-byte rows
 
-    new_hashes = np.unique(
-        np.concatenate(
-            [t["h"].to_numpy(zero_copy_only=False) for t in ray.get(hashed.to_arrow_refs()) if t.num_columns]
-        )
+    hash_cols = [
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in ray.get(hashed.to_arrow_refs())
+        if t.num_columns
+    ]
+    # an EMPTY increment (a day with zero new shards / a fully-filtered
+    # shard) is a normal event in continuous ingestion, not an error
+    new_hashes = (
+        np.unique(np.concatenate(hash_cols)) if hash_cols else np.empty(0, object)
     )
     probe_ref = ray.put(new_hashes)
     touched = np.unique([int(h[:8], 16) % n_buckets for h in new_hashes.tolist()])
@@ -123,20 +128,20 @@ def dedup_against_index(
         hs = t["h"].to_numpy(zero_copy_only=False)
         return t.select(["h"]).filter(pa.array(np.isin(hs, probe)))
 
-    seen_set: set[str] = set()
+    seen_arr = np.empty(0, object)
     if files:
         seen = rd.read_parquet(files, columns=["h"]).map_batches(
             match, batch_format="pyarrow"
         ).to_pandas()  # bounded by the increment's distinct-hash count
         # an all-empty result arrives COLUMN-LESS from Ray — treat as no hits
         if "h" in seen.columns:
-            seen_set = set(seen["h"].tolist())
-    seen_ref = ray.put(seen_set)
+            seen_arr = seen["h"].to_numpy(object)
+    seen_ref = ray.put(seen_arr)
 
     def verdict(t: pa.Table) -> pa.Table:
-        sset = ray.get(seen_ref)
-        hs = t["h"].to_pylist()
-        novel = pa.array([h not in sset for h in hs])
+        seen_arr = ray.get(seen_ref)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        novel = pa.array(~np.isin(hs, seen_arr))
         return pa.table({id_col: t[id_col], "novel": novel})
 
     return hashed.map_batches(verdict, batch_format="pyarrow")

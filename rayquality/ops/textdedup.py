@@ -419,7 +419,12 @@ def simhash_pairs(
     hash-partitioned vectorized hamming sweep. The signature table never
     materializes on the driver (VERDICT r1 item 5)."""
     sigs = simhash_signatures(ds, id_col, text_col)
-    return _pairs.banded_hamming_pairs(sigs, id_col, "simhash", max_hamming, n_bands)
+    out = _pairs.banded_hamming_pairs(sigs, id_col, "simhash", max_hamming, n_bands)
+    # surface the kernel's skew guard in THIS operator's contract too:
+    # a non-zero count means whole band buckets (> group_cap members)
+    # were skipped and recall is reduced (also logged by the kernel)
+    out.attrs["dropped_band_keys"] = out.attrs.get("dropped_band_keys", 0)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -541,8 +546,13 @@ def embedding_lsh_pairs(
 
     sigs = ds.select_columns([id_col, vec_col]).map_batches(add_sig, batch_format="pyarrow")
     cand = _pairs.banded_hamming_pairs(sigs, id_col, "sig", max_hamming, n_bands)
+    # capture the kernel's skew-guard count BEFORE any transform (pandas
+    # drops .attrs through merges/filters) and re-attach to the output
+    dropped = cand.attrs.get("dropped_band_keys", 0)
     if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        out = pd.DataFrame({"id_a": [], "id_b": []})
+        out.attrs["dropped_band_keys"] = dropped
+        return out
 
     # exact verification over candidate ids only (bounded by the candidate
     # count, not the corpus): broadcast the candidate vector subset
@@ -562,5 +572,6 @@ def embedding_lsh_pairs(
     ia = cand["id_a"].map(pos).to_numpy(np.int64)
     ib = cand["id_b"].map(pos).to_numpy(np.int64)
     cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
-    out = cand[cos >= threshold]
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out = cand[cos >= threshold].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out.attrs["dropped_band_keys"] = dropped
+    return out

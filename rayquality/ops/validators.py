@@ -520,10 +520,13 @@ def aggregate_consistency(
     from .quant import cents_pa
 
     def child_partial(t: pa.Table) -> pa.Table:
+        # count_all == SQL COUNT(*): rows with a NULL child value still
+        # count as children (plain "count" would silently skip them and
+        # diverge from the oracle)
         g = (
             pa.table({child_key: t[child_key], "c": cents_pa(t[child_value])})
             .group_by(child_key)
-            .aggregate([("c", "sum"), ("c", "count")])
+            .aggregate([("c", "sum"), ([], "count_all")])
         )
         return g.rename_columns([child_key, "child_cents", "n_children"])
 

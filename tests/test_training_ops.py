@@ -1238,3 +1238,39 @@ def test_aggregate_consistency_naive(rd):
     # orders without lineitems (if any) surface with n_children = 0, and
     # every order appears exactly once (left-outer semantics)
     assert got["o_orderkey"].is_unique
+
+
+def test_review_edge_cases(rd, tmp_path):
+    """Round-3 self-review regressions: empty probe list, null group
+    values, empty increment, COUNT(*) child semantics."""
+    import os
+
+    from rayquality.ops.cleanse import minmax_normalize
+    from rayquality.ops.curation import decontaminate
+    from rayquality.ops.increment import build_hash_index, dedup_against_index
+    from rayquality.ops.validators import aggregate_consistency
+
+    # empty probes: nothing contaminated (the '' regex would match all)
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    out = decontaminate(docs, []).to_pandas()
+    assert not out["contaminated"].any()
+
+    # null group value is a real group, not a KeyError
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "g": ["a", None, "a", None], "v": [1.0, 5.0, 3.0, 7.0]})
+    got = minmax_normalize(rd.from_pandas(df), "g", "v", "k").to_pandas().sort_values("k")
+    assert got["scaled_micro"].tolist() == [0, 0, 1_000_000, 1_000_000]
+
+    # empty increment: all-novel empty result, no crash
+    seen = pd.DataFrame({"doc_id": [1], "text": ["alpha"]})
+    idx = str(tmp_path / "idx2")
+    build_hash_index(rd.from_pandas(seen), idx, n_buckets=4)
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "text": pd.Series([], dtype=object)}))
+    out = dedup_against_index(empty, idx).to_pandas()
+    assert len(out) == 0
+
+    # a NULL child value still counts as a child (COUNT(*) semantics)
+    parent = rd.from_pandas(pd.DataFrame({"pk": [1], "pv": [10.0]}))
+    child = rd.from_pandas(pd.DataFrame({"ck": [1, 1], "cv": [4.0, None]}))
+    out = aggregate_consistency(parent, child, "pk", "ck", "pv", "cv").to_pandas()
+    assert out["n_children"].tolist() == [2]
+    assert out["child_cents"].tolist() == [400]
