@@ -581,6 +581,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("o_orderkey").reset_index(drop=True)
 
+    def near_dup_components_documents(sf):
+        """Near-dup clustering: exact n-gram Jaccard pairs (>= 0.5) as the
+        edge set, distributed min-label propagation for components — each
+        doc labeled with the min doc_id of its similarity cluster."""
+        from rayquality.ops import graph
+
+        (docs,) = _tables(sf, "documents")
+        pairs = textdedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        (docs2,) = _tables(sf, "documents")
+        out = graph.connected_components(
+            pairs[["id_a", "id_b"]], docs2.select_columns(["doc_id"]), "doc_id"
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -802,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": incremental_dedup_documents,
         "minmax_normalize_orders": minmax_normalize_orders,
         "consistency_orders_lineitem": consistency_orders_lineitem,
+        "near_dup_components_documents": near_dup_components_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1140,6 +1155,38 @@ def oracle_sql() -> dict[str, str]:
             "    CAST(ROUND((cents - mn) * 1000000.0 / (mx - mn)) AS BIGINT) "
             "  END AS scaled_micro "
             "FROM c JOIN s USING (o_orderpriority) ORDER BY o_orderkey"
+        ),
+        # min-label connected components over the exact >=0.5 ngram-Jaccard
+        # pair list: recursive reachability propagates every label across the
+        # (symmetric) edge set, then MIN per node = min doc_id of the cluster
+        "near_dup_components_documents": (
+            "WITH RECURSIVE toks AS ("
+            "  SELECT doc_id, CASE WHEN trim(text) = '' OR text IS NULL THEN []::VARCHAR[] "
+            "         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w "
+            "  FROM documents), "
+            "sh AS ("
+            "  SELECT doc_id, CASE "
+            "    WHEN len(w) >= 3 THEN list_distinct([array_to_string(list_slice(w, i+1, i+3), ' ') FOR i IN range(len(w) - 2)]) "
+            "    WHEN len(w) >= 1 THEN [array_to_string(w, ' ')] "
+            "    ELSE []::VARCHAR[] END AS shingles "
+            "  FROM toks), "
+            "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            "cand AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
+            "  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
+            "pairs AS ("
+            "  SELECT id_a, id_b FROM cand "
+            "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "  WHERE inter / (sa.n + sb.n - inter) >= 0.5), "
+            "e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "       UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS ("
+            "  SELECT doc_id, doc_id FROM documents "
+            "  UNION "
+            "  SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.id) "
+            "SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY doc_id"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine
