@@ -595,6 +595,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def benford_orders_price(sf):
+        from rayquality.ops import profile
+
+        (orders,) = _tables(sf, "orders")
+        return profile.benford_first_digit(orders, "o_totalprice")
+
+    def grouped_completeness_events(sf):
+        from rayquality.ops import profile
+
+        (events,) = _tables(sf, "events")
+        return profile.grouped_completeness(events, "event_type", ["value", "props"])
+
+    def iqr_outliers_lineitem(sf):
+        from rayquality.ops import profile
+
+        (li,) = _tables(sf, "lineitem")
+        return profile.iqr_outlier_counts(li, "l_returnflag", "l_extendedprice", unit=1.0)
+
+    def source_cap_documents(sf):
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        out = curation.per_key_cap(docs, "source", "doc_id", cap=10).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def dedup_normalized_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return textdedup.normalized_dedup(docs).to_pandas()
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -817,6 +846,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_normalize_orders": minmax_normalize_orders,
         "consistency_orders_lineitem": consistency_orders_lineitem,
         "near_dup_components_documents": near_dup_components_documents,
+        "benford_orders_price": benford_orders_price,
+        "grouped_completeness_events": grouped_completeness_events,
+        "iqr_outliers_lineitem": iqr_outliers_lineitem,
+        "source_cap_documents": source_cap_documents,
+        "dedup_normalized_documents": dedup_normalized_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1187,6 +1221,46 @@ def oracle_sql() -> dict[str, str]:
             "  UNION "
             "  SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.id) "
             "SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY doc_id"
+        ),
+        # digit extracted from the SAME half-away-from-zero integer cents on
+        # both sides (string-prefix in SQL, repeated //10 in the engine)
+        "benford_orders_price": (
+            "WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v "
+            "  FROM orders WHERE o_totalprice IS NOT NULL "
+            "    AND ROUND(o_totalprice * 100) > 0) "
+            "SELECT CAST(left(CAST(v AS VARCHAR), 1) AS BIGINT) AS digit, "
+            "COUNT(*) AS n FROM c GROUP BY digit ORDER BY digit"
+        ),
+        "grouped_completeness_events": (
+            "SELECT event_type, COUNT(*) AS n_rows, COUNT(value) AS n_value, "
+            "COUNT(props) AS n_props FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        # Tukey fences on exact DISCRETE quartiles of whole-unit prices;
+        # the 1.5 x IQR comparison stays in integers (tenths of a unit) so
+        # no float boundary can flip a count
+        "iqr_outliers_lineitem": (
+            "WITH c AS (SELECT l_returnflag, CAST(ROUND(l_extendedprice) AS BIGINT) AS v "
+            "  FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+            "q AS (SELECT l_returnflag, quantile_disc(v, 0.25) AS q1, "
+            "  quantile_disc(v, 0.75) AS q3 FROM c GROUP BY l_returnflag) "
+            "SELECT l_returnflag, q1 AS q1_units, q3 AS q3_units, "
+            "  CAST(SUM(CASE WHEN 10*v < 10*q1 - 15*(q3-q1) "
+            "    OR 10*v > 10*q3 + 15*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+            "  COUNT(*) AS n_rows "
+            "FROM c JOIN q USING (l_returnflag) "
+            "GROUP BY l_returnflag, q1, q3 ORDER BY l_returnflag"
+        ),
+        "source_cap_documents": (
+            'SELECT doc_id, source, CAST(rn AS BIGINT) AS "rank" FROM ('
+            "  SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "    PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 10 ORDER BY doc_id"
+        ),
+        "dedup_normalized_documents": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY "
+            "trim(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]+', ' ', 'g')) "
+            "ORDER BY doc_id"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine

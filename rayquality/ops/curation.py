@@ -163,3 +163,50 @@ def repetition_ratio(
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pandas"
     )
+
+
+def per_key_cap(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str = "doc_id",
+    cap: int = 10,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-key quota sampling: keep the ``cap`` smallest ids per key ->
+    lazy (id, key, rank 1..cap). The per-source / per-domain cap every
+    web-corpus pipeline applies so one crawl host cannot dominate the
+    training mix (the curation analog of the reference's duplicate
+    triage, ``src/data_quality/validators/duplicates.py``).
+
+    Combiner-first: each block keeps its own ``cap`` smallest ids per key
+    (nothing else leaves the block), so the key-hash shuffle carries at
+    most cap x blocks rows per key regardless of skew — a hot key with
+    10^9 rows ships cap rows per block, not 10^9. The per-partition
+    finish re-ranks the survivors exactly. SQL contract:
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY id) <= cap``.
+    """
+
+    def block_cap(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df[[key_col, id_col]]
+            .sort_values([key_col, id_col], kind="stable")
+            .groupby(key_col, as_index=False)
+            .head(cap)
+        )
+        hv = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy(np.uint64)
+        out = out.copy()
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, id_col], kind="stable")
+        rank = g.groupby(key_col).cumcount().to_numpy(np.int64) + 1
+        g = g.assign(rank=rank)
+        return g.loc[g["rank"] <= cap, [id_col, key_col, "rank"]]
+
+    return (
+        ds.select_columns([id_col, key_col])
+        .map_batches(block_cap, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -1,0 +1,163 @@
+"""Data-profiling operators: Benford first-digit analysis, per-group
+completeness, and IQR outlier detection.
+
+These extend the reference's column-profiling suite (null counts /
+distinct counts / pattern hit rates in
+``src/data_quality/validators/completeness.py`` and ``duplicates.py``)
+with the classic statistical profile checks a quality engine runs next:
+digit-distribution fraud signals (Benford), conditional completeness
+(null rates conditioned on a category), and robust outlier counts
+(Tukey fences on exact quartiles). Every op is a per-batch combiner
+followed by one skinny hash-partition combine — the shuffle carries
+aggregates (one row per digit / group / distinct value), never data rows
+— and every output column is integer-exact so the driver's dtype-strict
+hash gate can verify it against DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from . import combine as _combine
+from . import quant
+
+
+def benford_first_digit(
+    ds: rd.Dataset, column: str, unit: float = 100.0
+) -> pd.DataFrame:
+    """First-significant-digit counts of ``column`` (Benford's-law
+    profile) -> tiny DataFrame (digit, n), digits 1-9.
+
+    Values quantize to integers at ``unit`` (cents by default) through
+    the shared half-away-from-zero rule, so both engines extract the
+    digit from the SAME integer; non-positive and null values are
+    excluded (Benford applies to positive magnitudes). The per-batch
+    combiner reduces each block to <=9 partial rows; the combine shuffle
+    moves O(9 x blocks) rows total.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[column].dropna().to_numpy(np.float64)
+        c = quant.quantize_i64(v, unit)
+        c = c[c > 0]
+        # strip trailing digits until scalar: <= 19 vectorized passes
+        # (int64 max has 19 digits), no float log10 edge cases
+        while (c >= 10).any():
+            big = c >= 10
+            c[big] //= 10
+        counts = np.bincount(c, minlength=10)[1:10]
+        digits = np.arange(1, 10, dtype=np.int64)
+        keep = counts > 0
+        return pd.DataFrame({"digit": digits[keep], "n": counts[keep].astype(np.int64)})
+
+    parts = ds.select_columns([column]).map_batches(partial, batch_format="pandas")
+    out = _combine.combine_partials(parts, keys=["digit"], sums=["n"]).to_pandas()
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+def grouped_completeness(
+    ds: rd.Dataset, group_col: str, value_cols: list[str]
+) -> pd.DataFrame:
+    """Conditional completeness: per ``group_col`` value, total rows and
+    filled (non-null) counts per value column -> DataFrame
+    (group, n_rows, n_<col>...). The reference profiles completeness per
+    column over the whole table; conditioning on a category exposes
+    null patterns a global rate hides (e.g. one event type never fills
+    ``value``). One combiner pass + one skinny combine.
+    """
+
+    n_cols = [f"n_{c}" for c in value_cols]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False, dropna=False).agg(
+            n_rows=(group_col, "size"),
+            **{nc: (c, "count") for nc, c in zip(n_cols, value_cols)},
+        )
+        for c in ["n_rows", *n_cols]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = ds.select_columns([group_col, *value_cols]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = _combine.combine_partials(
+        parts, keys=[group_col], sums=["n_rows", *n_cols]
+    ).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def iqr_outlier_counts(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    unit: float = 100.0,
+) -> pd.DataFrame:
+    """Per-group Tukey-fence outlier counts on exact discrete quartiles
+    -> DataFrame (group, q1_units, q3_units, n_outliers, n_rows).
+
+    Two passes over a pruned 2-column read: (1) exact q1/q3 per group via
+    the value-counts combiner (:func:`sketch.grouped_quantiles`, bounded
+    cardinality in integer units), (2) one counting pass with the tiny
+    per-group fence table riding the task closure. The fences stay in
+    integers — outlier <=> 10*v < 10*q1 - 15*(q3-q1) or
+    10*v > 10*q3 + 15*(q3-q1) — so the oracle reproduces the comparison
+    bit-for-bit with no float boundary risk (1.5 x IQR expressed in
+    tenths of a unit).
+    """
+    from . import sketch
+
+    units_col = f"_{value_col}_units"
+
+    def to_units(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        out = pd.DataFrame({group_col: df[group_col].to_numpy()})
+        out[units_col] = quant.quantize_i64(v, unit)
+        out.loc[df[value_col].isna().to_numpy(), units_col] = pd.NA
+        out[units_col] = out[units_col].astype("Int64")
+        return out
+
+    skinny = ds.select_columns([group_col, value_col]).map_batches(
+        to_units, batch_format="pandas"
+    )
+    qdf = sketch.grouped_quantiles(skinny, group_col, units_col, [0.25, 0.75])
+    fences = qdf.pivot(index=group_col, columns="q", values="value")
+    q1 = fences[0.25].astype(np.int64)
+    q3 = fences[0.75].astype(np.int64)
+    lo10 = (10 * q1 - 15 * (q3 - q1)).to_dict()
+    hi10 = (10 * q3 + 15 * (q3 - q1)).to_dict()
+
+    def count_outliers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[units_col])
+        v10 = 10 * df[units_col].astype(np.int64).to_numpy()
+        keys = df[group_col].to_numpy()
+        # vectorize per group: factorize keys, index the fence arrays
+        codes, uniq = pd.factorize(keys)
+        lo = np.array([lo10[k] for k in uniq], np.int64)[codes]
+        hi = np.array([hi10[k] for k in uniq], np.int64)[codes]
+        out_mask = (v10 < lo) | (v10 > hi)
+        g = pd.DataFrame({group_col: keys, "n_outliers": out_mask, "n_rows": 1})
+        g = g.groupby(group_col, as_index=False).sum()
+        g["n_outliers"] = g["n_outliers"].astype(np.int64)
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    counts = _combine.combine_partials(
+        skinny.map_batches(count_outliers, batch_format="pandas"),
+        keys=[group_col],
+        sums=["n_outliers", "n_rows"],
+    ).to_pandas()
+    out = counts.merge(
+        pd.DataFrame(
+            {
+                group_col: q1.index,
+                "q1_units": q1.to_numpy(),
+                "q3_units": q3.to_numpy(),
+            }
+        ),
+        on=group_col,
+    )
+    out = out[[group_col, "q1_units", "q3_units", "n_outliers", "n_rows"]]
+    return out.sort_values(group_col).reset_index(drop=True)

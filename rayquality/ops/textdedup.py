@@ -575,3 +575,32 @@ def embedding_lsh_pairs(
     out = cand[cos >= threshold].sort_values(["id_a", "id_b"]).reset_index(drop=True)
     out.attrs["dropped_band_keys"] = dropped
     return out
+
+
+def normalized_dedup(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_parts: int = 64
+) -> rd.Dataset:
+    """Exact dedup after canonical text normalization (lowercase, every
+    non-alphanumeric run -> one space, trimmed): catches the
+    near-duplicates that differ only in case / punctuation / whitespace
+    — the cheapest fuzzy-dedup tier, run before shingle methods. Same
+    16-byte-hash shuffle plan as :func:`exact_dedup`. SQL contract:
+    ``trim(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]+', ' ',
+    'g'))`` — identical semantics for the Python re engine and RE2 on
+    this character class.
+    """
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            df[text_col]
+            .fillna("")
+            .str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "_norm": s})
+
+    normed = ds.select_columns([id_col, text_col]).map_batches(
+        norm, batch_format="pandas"
+    )
+    return exact_dedup(normed, id_col=id_col, text_col="_norm", n_parts=n_parts)
