@@ -170,9 +170,9 @@ def component_losers(pairs: "set[tuple[str, str]] | list[tuple[str, str]]") -> s
     """Union-find over verified pairs; losers = members except min id.
 
     Runs on the driver over the (small) verified-pair set. Scale note: at
-    10^12 rows replace with a few rounds of min-label propagation via
-    groupby (SURVEY ray-guide pattern); the pair set itself stays small
-    because exact dedup runs first.
+    10^12 rows swap in :func:`rayquality.ops.graph.connected_components`
+    (distributed min-label propagation; same min-id-wins labels); the
+    pair set here stays small because exact dedup runs first.
     """
     parent: dict[str, str] = {}
 

@@ -5,27 +5,38 @@ embedding LSH) emits *pairs*; turning pairs into keep/drop decisions needs
 component labels ("all docs transitively similar share one cluster"). The
 flagship image pipeline does this with a driver union-find — fine there
 because phash pair lists are output-sized, but the generic path must scale
-to pair lists that do not fit one machine. This module is that path: BSP
-min-label propagation (the Pregel / GraphX connected-components algorithm),
-expressed as Ray Dataset shuffles.
+to pair lists that do not fit one machine. This module is that path:
+BSP min-label propagation (the Pregel / GraphX connected-components
+algorithm) with frontier deltas.
 
-Per iteration: every node sends its current component label to every
-neighbour, and each node keeps the minimum of its own label and all
-received labels. Labels are monotonically non-increasing, so the algorithm
-converges in O(graph diameter) rounds — small for dedup graphs, whose
-components are near-cliques (every member pairs with most others).
-Hash-to-Min (Rastogi et al. 2012) would cut that to O(log d) for
-pathological chain graphs at the cost of edge-set rewriting; the docstring
-contract below states the diameter assumption instead.
+Architecture (why this is NOT a per-round Dataset shuffle): the adjacency
+is STATIC across rounds, so re-shuffling it every round through a
+sort-based ``groupby`` pays the full exchange R times (a first cut doing
+that measured 33-98 s PER ROUND on a 500k-node graph). Instead the
+adjacency is hash-partitioned ONCE by writing hive-partitioned parquet
+(``pkey=N/`` — the filesystem is the shuffle, the same trick as the
+persisted IVF index in ``ops/ann.py`` and the hash index in
+``ops/increment.py``), then loaded as P per-partition column sets pinned
+in the object store with edge sources pre-resolved to local label
+indexes. Per round, P ``propagate`` tasks gather each partition's
+FRONTIER labels (only nodes whose label changed last round — after round
+1 this collapses to near-nothing on dedup graphs) across their local
+edges and emit proposals pre-split by destination partition
+(``num_returns=P``: the P x P exchange is object refs, payloads never
+visit the driver); P ``combine`` tasks fold the proposals into their
+label arrays with ``np.minimum.at`` and report EXACT change counts. The
+driver holds only object refs and integer counters — never a node, edge,
+or label row. Iteration over static co-partitioned state is where the
+Dataset API genuinely can't express the semantics, so this is the
+documented raw-task fallback; every kernel is vectorized numpy.
 
-Scale shape per round: TWO hash-partition shuffles of skinny int columns
-(propagate labels across edges, then min-combine proposals per node); the
-driver holds two checksum integers. Nothing O(nodes) or O(edges) ever
-materializes on the driver. The propagate step is a tagged-union groupby
-(the repo's asof/sessionize pattern), NOT Ray's alpha Dataset.join — the
-hash-shuffle join operator intermittently misroutes block sides when
-driven in a loop (observed on Ray 2.49: ``ArrowInvalid: No match ... on
-right side`` after 1-2 successful rounds with identical inputs).
+Scale contract: one partition's edges + labels must fit one worker
+(raise ``n_parts`` with the graph; partitions are uniform under the
+Knuth-hash pkey unless one NODE is a near-universal hub). Converges in
+O(diameter) rounds — small for dedup graphs, whose components are
+near-cliques. Hash-to-Min (Rastogi et al. 2012) would cut pathological
+chains to O(log d) at the cost of edge rewriting; the ``max_iters``
+contract states the diameter assumption instead.
 
 Reference parity: the reference has no graph operator; this extends its
 duplicate *detection* (src/data_quality/validators/duplicates.py) to
@@ -35,37 +46,99 @@ and "drop these rows".
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
-from . import combine as _combine
-
-_LOW31 = np.int64((1 << 31) - 1)
 _KNUTH = np.uint64(2654435761)
 
 
-def _label_checksums(labels: rd.Dataset) -> tuple[int, int]:
-    """(sum of comp low 31 bits, sum of comp high bits) — an overflow-safe
-    convergence fingerprint. Labels only ever decrease per node, so both
-    sums unchanged <=> no label changed anywhere (high sum unchanged forces
-    every high part unchanged, which forces the low parts monotone, so the
-    low sum pins them too). Avoids a self-join per round just to count
-    changes, and avoids a single int64 sum that could overflow at
-    trillion-node scale."""
+def _pkey(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    return ((ids.astype(np.uint64) * _KNUTH) % np.uint64(n_parts)).astype(np.int64)
 
-    def partial(t: pa.Table) -> pa.Table:
-        c = t["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "lo": pa.array([int((c & _LOW31).sum())]),
-                "hi": pa.array([int((c >> np.int64(31)).sum())]),
-            }
-        )
 
-    parts = labels.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return int(parts["lo"].sum()), int(parts["hi"].sum())
+@ray.remote
+def _init_labels(nodes_path: str, p: int, id_col: str) -> tuple:
+    """(sorted unique node ids, labels = own ids) for one partition."""
+    part_dir = os.path.join(nodes_path, f"pkey={p}")
+    if not os.path.isdir(part_dir):
+        e = np.empty(0, np.int64)
+        return (e, e.copy())
+    t = pq.read_table(part_dir, columns=[id_col])
+    ids = np.unique(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+    return (ids, ids.copy())
+
+
+@ray.remote
+def _load_adj(adj_path: str, p: int, state: tuple) -> tuple:
+    """Load one adjacency partition and pre-resolve each edge's src to its
+    local label index (done once; every round then gathers labels with one
+    fancy index). Edges whose src is missing from the node universe are
+    dropped (defensive: `nodes` must be a superset of edge endpoints)."""
+    ids, _ = state
+    part_dir = os.path.join(adj_path, f"pkey={p}")
+    if not os.path.isdir(part_dir) or len(ids) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    t = pq.read_table(part_dir, columns=["src", "dst"])
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.searchsorted(ids, src)
+    ok = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == src)
+    return (idx[ok].astype(np.int64), dst[ok])
+
+
+@ray.remote
+def _propagate(adj: tuple, state: tuple, frontier: np.ndarray, n_parts: int) -> list:
+    """Emit (dst, label-of-src) proposals for edges whose src label changed
+    last round, pre-split by destination partition -> n_parts return
+    values, one per destination (empty frontier mask = all live)."""
+    src_idx, dst = adj
+    ids, labels = state
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(src_idx) == 0 or len(ids) == 0:
+        return [empty] * n_parts
+    live = frontier[src_idx] if len(frontier) else np.ones(len(src_idx), bool)
+    if not live.any():
+        return [empty] * n_parts
+    d = dst[live]
+    comp = labels[src_idx[live]]
+    pk = _pkey(d, n_parts)
+    order = np.argsort(pk, kind="stable")
+    d, comp, pk = d[order], comp[order], pk[order]
+    bounds = np.searchsorted(pk, np.arange(n_parts + 1))
+    return [
+        (d[bounds[q]:bounds[q + 1]], comp[bounds[q]:bounds[q + 1]])
+        for q in range(n_parts)
+    ]
+
+
+@ray.remote
+def _combine(state: tuple, *proposals: tuple) -> tuple:
+    """Fold proposals into this partition's labels -> 3 returns:
+    (new state, frontier mask of changed nodes, n_changed)."""
+    ids, labels = state
+    new = labels.copy()
+    for d, comp in proposals:
+        if len(d) == 0 or len(ids) == 0:
+            continue
+        idx = np.searchsorted(ids, d)
+        ok = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == d)
+        np.minimum.at(new, idx[ok], comp[ok])
+    frontier = new < labels
+    return (ids, new), frontier, int(frontier.sum())
+
+
+@ray.remote
+def _to_arrow(state: tuple, id_col: str) -> pa.Table:
+    ids, labels = state
+    return pa.table({id_col: pa.array(ids), "comp": pa.array(labels)})
 
 
 def connected_components(
@@ -76,20 +149,29 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 64,
     n_parts: int = 64,
+    work_dir: str | None = None,
 ) -> rd.Dataset:
     """Label every node with the MINIMUM node id of its connected
     component -> lazy Dataset ``(id_col, comp)``; isolated nodes label
     themselves.
 
     ``edges`` is an undirected pair list (each pair once, either order);
-    ``nodes`` supplies the id universe (isolated docs never appear in
-    ``edges``). Converges in O(diameter) rounds; raises RuntimeError if
-    ``max_iters`` rounds don't converge (a 64-round graph is not a dedup
-    graph — raise the cap explicitly if you mean it).
+    ``nodes`` supplies the id universe (must cover every edge endpoint;
+    isolated docs never appear in ``edges``). Converges in O(diameter)
+    rounds; raises RuntimeError if ``max_iters`` rounds don't converge
+    (a 64-round graph is not a dedup graph — raise the cap explicitly if
+    you mean it).
     """
+    P = max(2, int(n_parts))  # num_returns=P needs a real fan-out
+    tmp = work_dir or tempfile.mkdtemp(prefix="rayquality_cc_")
+    adj_path = os.path.join(tmp, "adj")
+    nodes_path = os.path.join(tmp, "nodes")
+
+    # ---- build: hive-partition adjacency (both directions) and the node
+    # universe by hash(node) — the partitioned write IS the one-time shuffle
     if isinstance(edges, pd.DataFrame):
-        if len(edges):
-            edges = rd.from_pandas(
+        edges = (
+            rd.from_pandas(
                 pd.DataFrame(
                     {
                         src_col: edges[src_col].to_numpy(np.int64),
@@ -97,154 +179,86 @@ def connected_components(
                     }
                 )
             )
-        else:
-            edges = None
+            if len(edges)
+            else None
+        )
     else:
         edges = edges.select_columns([src_col, dst_col])
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        ids = t[id_col].combine_chunks().cast(pa.int64())
-        return pa.table({id_col: ids, "comp": ids})
-
-    labels = nodes.select_columns([id_col]).map_batches(
-        init_labels, batch_format="pyarrow"
-    ).materialize()
-    if edges is None:
-        return labels
-
-    # adjacency both ways plus one self-loop per node, with hash(src)
-    # partition keys attached, materialized once and reused every round.
-    # The self-loop ships each node its own label, so the min-combine sees
-    # the current label without a second input path.
     def both_ways(t: pa.Table) -> pa.Table:
-        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([s, d])),
-                "dst": pa.array(np.concatenate([d, s])),
-            }
-        )
-
-    def self_loops(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(ids), "dst": pa.array(ids)})
-
-    def add_pkey(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:  # union emits bare blocks
+        if t.num_columns == 0 or t.num_rows == 0:
             return pa.schema(
                 [("src", pa.int64()), ("dst", pa.int64()), ("pkey", pa.int64())]
             ).empty_table()
-        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pk = ((s * _KNUTH) % np.uint64(n_parts)).astype(np.int64)
-        return t.append_column("pkey", pa.array(pk))
-
-    adj = (
-        edges.map_batches(both_ways, batch_format="pyarrow")
-        .union(
-            nodes.select_columns([id_col]).map_batches(
-                self_loops, batch_format="pyarrow"
-            )
-        )
-        .map_batches(add_pkey, batch_format="pyarrow")
-        .materialize()
-    )
-
-    _schema = pa.schema([(id_col, pa.int64()), ("comp", pa.int64())])
-
-    def norm(t: pa.Table) -> pa.Table:
-        # map_groups can emit empty COLUMN-LESS blocks; pin the schema
-        if t.num_columns == 0 or t.num_rows == 0:
-            return _schema.empty_table()
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
         return pa.table(
             {
-                id_col: t[id_col].combine_chunks().cast(pa.int64()),
-                "comp": t["comp"].combine_chunks().cast(pa.int64()),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "pkey": pa.array(_pkey(src, P)),
             }
         )
 
-    prev = _label_checksums(labels)
-    for _ in range(max_iters):
-        # propagate: co-partition labels with the adjacency lists on
-        # hash(node) via a tagged union (labels rows carry dst = NULL),
-        # then each partition emits one (dst, comp-of-src) proposal per
-        # edge row — all vectorized merges, no Python loops
-        def tag_labels(t: pa.Table) -> pa.Table:
-            if t.num_columns == 0 or t.num_rows == 0:
-                return pa.schema(
-                    [
-                        ("src", pa.int64()),
-                        ("dst", pa.int64()),
-                        ("comp", pa.int64()),
-                        ("pkey", pa.int64()),
-                    ]
-                ).empty_table()
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pk = ((ids.astype(np.uint64) * _KNUTH) % np.uint64(n_parts)).astype(
-                np.int64
-            )
-            return pa.table(
-                {
-                    "src": pa.array(ids),
-                    "dst": pa.nulls(len(ids), pa.int64()),
-                    "comp": t["comp"].combine_chunks().cast(pa.int64()),
-                    "pkey": pa.array(pk),
-                }
-            )
-
-        def tag_edges(t: pa.Table) -> pa.Table:
-            if t.num_columns == 0 or t.num_rows == 0:
-                return pa.schema(
-                    [
-                        ("src", pa.int64()),
-                        ("dst", pa.int64()),
-                        ("comp", pa.int64()),
-                        ("pkey", pa.int64()),
-                    ]
-                ).empty_table()
-            return pa.table(
-                {
-                    "src": t["src"].combine_chunks().cast(pa.int64()),
-                    "dst": t["dst"].combine_chunks().cast(pa.int64()),
-                    "comp": pa.nulls(t.num_rows, pa.int64()),
-                    "pkey": t["pkey"].combine_chunks().cast(pa.int64()),
-                }
-            )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[g["dst"].isna()]
-            edg = g[g["dst"].notna()]
-            if not len(edg) or not len(lab):
-                return pd.DataFrame(
-                    {id_col: pd.Series([], dtype=np.int64),
-                     "comp": pd.Series([], dtype=np.int64)}
-                )
-            m = edg[["src", "dst"]].merge(
-                lab[["src", "comp"]], on="src", how="inner"
-            )
-            return pd.DataFrame(
-                {
-                    id_col: m["dst"].to_numpy(np.int64),
-                    "comp": m["comp"].to_numpy(np.int64),
-                }
-            )
-
-        proposals = (
-            labels.map_batches(tag_labels, batch_format="pyarrow")
-            .union(adj.map_batches(tag_edges, batch_format="pyarrow"))
-            .groupby("pkey")
-            .map_groups(propagate, batch_format="pandas")
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("pkey", pa.int64())]
+            ).empty_table()
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids,
+                "pkey": pa.array(_pkey(ids.to_numpy(zero_copy_only=False), P)),
+            }
         )
-        labels = (
-            _combine.combine_partials(proposals, keys=[id_col], sums=[], mins=["comp"])
-            .map_batches(norm, batch_format="pyarrow")
-            .materialize()
-        )
-        cur = _label_checksums(labels)
-        if cur == prev:
-            return labels
-        prev = cur
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(graph diameter exceeds the dedup-graph contract; raise max_iters)"
+
+    nodes.select_columns([id_col]).map_batches(
+        tag_nodes, batch_format="pyarrow"
+    ).write_parquet(nodes_path, partition_cols=["pkey"], mode="overwrite")
+
+    state = [_init_labels.remote(nodes_path, p, id_col) for p in range(P)]
+    if edges is None:
+        refs = [_to_arrow.remote(state[p], id_col) for p in range(P)]
+        ray.wait(refs, num_returns=len(refs))  # force file reads before rmtree
+        out = rd.from_arrow_refs(refs)
+        if work_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    edges.map_batches(both_ways, batch_format="pyarrow").write_parquet(
+        adj_path, partition_cols=["pkey"], mode="overwrite"
     )
+    adj = [_load_adj.remote(adj_path, p, state[p]) for p in range(P)]
+    frontiers: list = [np.empty(0, bool)] * P  # round 0: empty = all live
+
+    # ---- BSP rounds: P propagate + P combine tasks; only int counters
+    # (and refs) ever reach the driver
+    converged = False
+    for _ in range(max_iters):
+        props = [
+            _propagate.options(num_returns=P).remote(adj[p], state[p], frontiers[p], P)
+            for p in range(P)
+        ]
+        out3 = [
+            _combine.options(num_returns=3).remote(
+                state[p], *[props[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        state = [o[0] for o in out3]
+        frontiers = [o[1] for o in out3]
+        if sum(ray.get([o[2] for o in out3])) == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the dedup-graph contract; raise max_iters)"
+        )
+    out = rd.from_arrow_refs([_to_arrow.remote(state[p], id_col) for p in range(P)])
+    if work_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

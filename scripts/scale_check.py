@@ -91,6 +91,7 @@ def main() -> None:
 
     n_docs = docs().count()
     n_ev = events().count()
+    n_ord = orders().count()
 
     from rayquality.ops import asof, text, windows
 
@@ -157,7 +158,52 @@ def main() -> None:
 
     run("range_join", n_ev, _range_join)
 
-    print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "ops": results}))
+    # ---- round-3 additions: graph clustering, profiling, curation ----------
+    from rayquality.ops import curation, profile, textdedup
+
+    def _components():
+        # star edges: every replica doc links to its replica-0 original ->
+        # 5k components of size 100, diameter 2 (the dedup-graph shape),
+        # 495k edges over 500k nodes
+        import pyarrow as pa
+
+        from rayquality.ops import graph
+
+        def mk_edges(t: "pa.Table") -> "pa.Table":
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            base = ids % 1_000_000
+            m = ids // 1_000_000 > 0
+            return pa.table({"id_a": pa.array(base[m]), "id_b": pa.array(ids[m])})
+
+        edges = docs().select_columns(["doc_id"]).map_batches(
+            mk_edges, batch_format="pyarrow"
+        )
+        return graph.connected_components(
+            edges, docs().select_columns(["doc_id"]), "doc_id"
+        )
+
+    run("connected_components", n_docs, _components)
+    run(
+        "per_key_cap",
+        n_docs,
+        lambda: curation.per_key_cap(docs(), "source", "doc_id", cap=10),
+    )
+    run("normalized_dedup", n_docs, lambda: textdedup.normalized_dedup(docs()))
+    run("benford", n_ord, lambda: profile.benford_first_digit(orders(), "o_totalprice"))
+    run(
+        "grouped_completeness",
+        n_ev,
+        lambda: profile.grouped_completeness(events(), "event_type", ["value", "props"]),
+    )
+    run(
+        "iqr_outliers",
+        n_ord,
+        lambda: profile.iqr_outlier_counts(
+            orders(), "o_orderpriority", "o_totalprice", unit=1.0
+        ),
+    )
+
+    print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "n_orders": n_ord, "ops": results}))
     ray.shutdown()
 
 
