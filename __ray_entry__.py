@@ -624,6 +624,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (docs,) = _tables(sf, "documents")
         return textdedup.normalized_dedup(docs).to_pandas()
 
+    def decontaminate_embedding_vectors(sf):
+        from rayquality.ops import curation
+
+        (emb,) = _tables(sf, "embeddings")
+        out = curation.decontaminate_embedding(
+            emb, probe_ids=list(range(10)), threshold=0.30
+        ).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    def snapshot_diff_documents(sf):
+        """Release-to-release diff: the 'new' snapshot is derived
+        deterministically from the corpus (every 5th doc removed, every
+        3rd rewritten, every 7th re-ingested under a new id) so the SQL
+        oracle can rebuild the identical snapshot."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import snapshot
+
+        (old,) = _tables(sf, "documents")
+
+        def mutate(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            keep = pc.not_equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0)
+            t2 = t.filter(keep)
+            changed = pc.equal(
+                pc.subtract(
+                    t2["doc_id"], pc.multiply(pc.divide(t2["doc_id"], 3), 3)
+                ),
+                0,
+            )
+            text = pc.if_else(changed, pa.scalar("CHANGED"), t2["text"])
+            return pa.table({"doc_id": t2["doc_id"], "text": text})
+
+        def added(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            m = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0)
+            t2 = t.filter(m)
+            return pa.table(
+                {
+                    "doc_id": pc.add(t2["doc_id"], 10_000_000),
+                    "text": t2["text"],
+                }
+            )
+
+        cols = ["doc_id", "text"]
+        (old2,) = _tables(sf, "documents")
+        new = old2.select_columns(cols).map_batches(
+            mutate, batch_format="pyarrow"
+        ).union(
+            _tables(sf, "documents")[0]
+            .select_columns(cols)
+            .map_batches(added, batch_format="pyarrow")
+        )
+        out = snapshot.snapshot_diff(old, new, "doc_id", ["text"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -851,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outliers_lineitem": iqr_outliers_lineitem,
         "source_cap_documents": source_cap_documents,
         "dedup_normalized_documents": dedup_normalized_documents,
+        "decontaminate_embedding_vectors": decontaminate_embedding_vectors,
+        "snapshot_diff_documents": snapshot_diff_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1260,6 +1319,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized_documents": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY "
             "trim(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]+', ' ', 'g')) "
+            "ORDER BY doc_id"
+        ),
+        "decontaminate_embedding_vectors": (
+            "SELECT e.vec_id, EXISTS("
+            "  SELECT 1 FROM embeddings p WHERE p.vec_id < 10 "
+            "  AND p.vec_id <> e.vec_id "
+            "  AND list_cosine_similarity(p.embedding, e.embedding) >= 0.30"
+            ") AS contaminated FROM embeddings e ORDER BY e.vec_id"
+        ),
+        # the 'new' snapshot is rebuilt here with the same deterministic
+        # mutations the query applies (drop %5, rewrite %3, re-ingest %7
+        # under id+10M), then keys FULL OUTER JOIN on doc_id
+        "snapshot_diff_documents": (
+            "WITH newsnap AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'CHANGED' ELSE text END AS text "
+            "  FROM documents WHERE doc_id % 5 <> 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "  CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "       WHEN n.doc_id IS NULL THEN 'removed' "
+            "       ELSE 'changed' END AS status "
+            "FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+            "   OR COALESCE(o.text, '') <> COALESCE(n.text, '') "
             "ORDER BY doc_id"
         ),
         "repetition_ratio_documents": (

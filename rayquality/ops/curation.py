@@ -210,3 +210,61 @@ def per_key_cap(
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def decontaminate_embedding(
+    ds: rd.Dataset,
+    probe_ids: list[int],
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Semantic benchmark decontamination: flag corpus vectors whose
+    cosine similarity to ANY probe vector (an eval-set embedding) meets
+    ``threshold`` -> lazy (id, contaminated). The embedding analog of
+    :func:`decontaminate`: exact string probes miss paraphrases; embedding
+    probes catch them.
+
+    Probes are the small side: fetched once, L2-normalized in float64,
+    broadcast via ``ray.put`` (one object-store copy per node, never
+    re-shipped per batch); each batch is one matmul against the probe
+    matrix. A probe never flags itself. Scale: O(P) per row — for probe
+    sets beyond ~10^5 swap the stage to the IVF index in ``ops/ann.py``
+    (probe the cells, same verdict); the plan shape does not change.
+    """
+    import ray
+
+    pset = set(int(p) for p in probe_ids)
+
+    def is_probe(t: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in pset for v in t[id_col].to_pylist()])
+        return t.filter(mask)
+
+    qdf = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(is_probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    q_ids = qdf[id_col].to_numpy(np.int64)
+    q_mat = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def flag(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(qi) == 0:
+            return pa.table(
+                {id_col: pa.array(ids),
+                 "contaminated": pa.array(np.zeros(len(ids), bool))}
+            )
+        mat = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ qm.T  # (B, P)
+        sims[ids[:, None] == qi[None, :]] = -np.inf  # probe never flags itself
+        hit = (sims >= threshold).any(axis=1)
+        return pa.table({id_col: pa.array(ids), "contaminated": pa.array(hit)})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        flag, batch_format="pyarrow", batch_size=2048
+    )
