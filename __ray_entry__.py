@@ -681,6 +681,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = snapshot.snapshot_diff(old, new, "doc_id", ["text"]).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def rollup_revenue_orders(sf):
+        from rayquality.ops import analytic
+
+        (orders,) = _tables(sf, "orders")
+        return analytic.rollup_revenue(orders)
+
+    def mode_priority_per_status(sf):
+        from rayquality.ops import analytic
+
+        (orders,) = _tables(sf, "orders")
+        return analytic.mode_per_group(orders, "o_orderstatus", "o_orderpriority")
+
+    def activity_islands_events(sf):
+        from rayquality.ops import analytic
+
+        (ev,) = _tables(sf, "events")
+        return analytic.gaps_islands(ev)
+
+    def latest_order_per_customer(sf):
+        from rayquality.ops import analytic
+
+        (orders,) = _tables(sf, "orders")
+        return analytic.latest_per_key(orders)
+
+    def corr_quantity_price(sf):
+        from rayquality.ops import analytic
+
+        (li,) = _tables(sf, "lineitem")
+        return analytic.corr_exact(li, "l_quantity", "l_extendedprice")
+
+    def ntile_orders_price(sf):
+        from rayquality.ops import analytic
+
+        (orders,) = _tables(sf, "orders")
+        out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
+        return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+    def bloom_semi_join_lineitem(sf):
+        from rayquality.ops import bloom
+
+        li, orders = _tables(sf, "lineitem", "orders")
+        urgent = orders.filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+        out = bloom.bloom_semi_join(
+            li, "l_orderkey", urgent, "o_orderkey", ["l_orderkey", "l_linenumber"]
+        ).to_pandas()
+        return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
     def mixture_by_lang_documents(sf):
         from rayquality.ops import windows
 
@@ -910,6 +957,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized_documents": dedup_normalized_documents,
         "decontaminate_embedding_vectors": decontaminate_embedding_vectors,
         "snapshot_diff_documents": snapshot_diff_documents,
+        "rollup_revenue_orders": rollup_revenue_orders,
+        "mode_priority_per_status": mode_priority_per_status,
+        "activity_islands_events": activity_islands_events,
+        "latest_order_per_customer": latest_order_per_customer,
+        "corr_quantity_price": corr_quantity_price,
+        "ntile_orders_price": ntile_orders_price,
+        "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1345,6 +1399,80 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
             "   OR COALESCE(o.text, '') <> COALESCE(n.text, '') "
             "ORDER BY doc_id"
+        ),
+        "rollup_revenue_orders": (
+            # sentinel keys (-1 / 'ALL') instead of NULL so yr stays BIGINT
+            # and status stays VARCHAR through the dtype-strict hash gate
+            "SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr, "
+            "COALESCE(o_orderstatus, 'ALL') AS status, "
+            "CAST(GROUPING(year(o_orderdate)) + GROUPING(o_orderstatus) AS BIGINT) AS lvl, "
+            "COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus) "
+            "ORDER BY lvl, yr, status"
+        ),
+        "mode_priority_per_status": (
+            "WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+            "  FROM orders GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+            "  ORDER BY n DESC, o_orderpriority ASC) AS rn FROM c) "
+            "SELECT o_orderstatus, o_orderpriority AS mode_value, n "
+            "FROM r WHERE rn = 1 ORDER BY o_orderstatus"
+        ),
+        "activity_islands_events": (
+            # gaps-and-islands: day - ROW_NUMBER() is constant within a
+            # run of consecutive days (same trick, integer day ordinals,
+            # on the engine side)
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+            "g AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER "
+            "  (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp FROM d), "
+            "i AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_islands, "
+            "CAST(MAX(len) AS BIGINT) AS max_island "
+            "FROM i GROUP BY user_id ORDER BY user_id"
+        ),
+        "latest_order_per_customer": (
+            "WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+            "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+            "SELECT o_custkey, o_orderdate AS last_ts, o_orderkey AS last_id "
+            "FROM r WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        "corr_quantity_price": (
+            # exact integer moment sums (HUGEINT, overflow-free), then the
+            # SAME double expression the engine evaluates — each integer
+            # casts to IEEE double exactly once, so the quotient is
+            # bit-identical and the micro-rounding can't diverge
+            "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "  SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sx, "
+            "  SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy, "
+            "  SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT) * "
+            "      CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sxx, "
+            "  SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT) * "
+            "      CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy, "
+            "  SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT) * "
+            "      CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy "
+            "  FROM lineitem "
+            "  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_x_cents, "
+            "CAST(sy AS BIGINT) AS sum_y_cents, "
+            "CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) "
+            "AS corr_micro FROM s"
+        ),
+        "ntile_orders_price": (
+            # order by quantized cents (the engine's compare key), ties by key
+            "SELECT o_orderkey, CAST(NTILE(8) OVER (ORDER BY "
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) AS BIGINT) "
+            "AS bucket FROM orders ORDER BY o_orderkey"
+        ),
+        "bloom_semi_join_lineitem": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "  WHERE o_orderpriority = '1-URGENT') "
+            "ORDER BY l_orderkey, l_linenumber"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine

@@ -1,0 +1,386 @@
+"""Analytic operators: ROLLUP aggregates, per-group mode, gaps-and-islands,
+latest-record-per-key, exact Pearson correlation, and global NTILE
+bucketing.
+
+These extend the reference's summary layer (aggregate counts in
+``src/data_quality/validators/duplicates.py`` and the report summaries in
+``core/report_manager.py``) with the standard profiling/curation analytics
+a large-scale pipeline runs next: multi-level subtotals, dominant-category
+detection, activity-streak profiling, dedup-to-latest, cross-column
+correlation, and quantile bucketing for stratified splits. Every op is a
+per-batch combiner followed by one skinny hash-partition combine — the
+shuffle carries aggregates, never data rows (NTILE's assignment pass is
+the one full-data map, and it is a stateless broadcast-compare) — and
+every output column is integer/string-exact so the dtype-strict hash gate
+can verify it against DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from . import combine as _combine
+from . import quant
+
+
+def rollup_revenue(orders: rd.Dataset) -> pd.DataFrame:
+    """ROLLUP(year, status) revenue subtotals -> DataFrame
+    (yr, status, lvl, n, sum_cents), lvl 0=finest 1=per-year 2=grand.
+
+    The distributed work is ONE finest-level combiner pass (per-batch
+    groupby -> skinny combine, one row per (year,status) per block); the
+    coarser rollup levels are derived on the driver from that tiny finest
+    table (|years| x |statuses| rows), never from a second scan. Rolled-up
+    key slots use sentinels (-1 / 'ALL') instead of NULL so the column
+    dtypes stay int64/string on both engines.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "yr": df["o_orderdate"].dt.year.to_numpy(np.int64),
+                "status": df["o_orderstatus"].to_numpy(),
+                "cents": quant.cents_np(df["o_totalprice"].to_numpy(np.float64)),
+            }
+        )
+        out = g.groupby(["yr", "status"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    finest = (
+        _combine.combine_partials(
+            orders.select_columns(
+                ["o_orderdate", "o_orderstatus", "o_totalprice"]
+            ).map_batches(partial, batch_format="pandas"),
+            keys=["yr", "status"],
+            sums=["n", "sum_cents"],
+        )
+        .to_pandas()
+        .sort_values(["yr", "status"])
+        .reset_index(drop=True)
+    )
+    finest["lvl"] = np.int64(0)
+    per_year = finest.groupby("yr", as_index=False)[["n", "sum_cents"]].sum()
+    per_year["status"] = "ALL"
+    per_year["lvl"] = np.int64(1)
+    grand = pd.DataFrame(
+        {
+            "yr": [np.int64(-1)],
+            "status": ["ALL"],
+            "lvl": [np.int64(2)],
+            "n": [finest["n"].sum()],
+            "sum_cents": [finest["sum_cents"].sum()],
+        }
+    )
+    cols = ["yr", "status", "lvl", "n", "sum_cents"]
+    out = pd.concat([finest[cols], per_year[cols], grand[cols]], ignore_index=True)
+    for c in ("yr", "lvl", "n", "sum_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["lvl", "yr", "status"]).reset_index(drop=True)
+
+
+def mode_per_group(ds: rd.Dataset, group_col: str, value_col: str) -> pd.DataFrame:
+    """Most frequent ``value_col`` per ``group_col`` -> DataFrame
+    (group, mode_value, n); ties broken to the smallest value so the
+    result is deterministic and SQL-reproducible.
+
+    Per-batch (group, value) counts are the combiner; the combine shuffle
+    carries one row per distinct pair per block, and the argmax runs
+    distributed per group (``groupby(group).map_groups``), so no
+    value-frequency table ever lands whole on the driver.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, value_col], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    pairs = _combine.combine_partials(
+        ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=[group_col, value_col],
+        sums=["n"],
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", value_col], ascending=[False, True])
+        top = g.iloc[:1]
+        return pd.DataFrame(
+            {
+                group_col: top[group_col].to_numpy(),
+                "mode_value": top[value_col].to_numpy(),
+                "n": top["n"].to_numpy(np.int64),
+            }
+        )
+
+    out = pairs.groupby(group_col).map_groups(argmax, batch_format="pandas").to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def gaps_islands(
+    ds: rd.Dataset, key_col: str = "user_id", ts_col: str = "ts"
+) -> pd.DataFrame:
+    """Consecutive-day activity streaks per key -> DataFrame
+    (key, n_days, n_islands, max_island).
+
+    An "island" is a maximal run of consecutive calendar days with >=1
+    event. Per-batch distinct (key, day) pairs are the combiner (events
+    collapse to at most one row per key-day per block), the combine
+    shuffle moves only those skinny pairs, and the island walk runs
+    per-key inside ``groupby(key).map_groups`` on integer day ordinals —
+    sort, diff, count breaks — never on the driver.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df[ts_col].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(), "day": days})
+        g = g.drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    pairs = _combine.combine_partials(
+        ds.select_columns([key_col, ts_col]).map_batches(partial, batch_format="pandas"),
+        keys=[key_col, "day"],
+        sums=["one"],
+    )
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in g.groupby(key_col):
+            days = np.sort(grp["day"].to_numpy(np.int64))
+            breaks = np.nonzero(np.diff(days) > 1)[0]
+            starts = np.concatenate([[0], breaks + 1])
+            ends = np.concatenate([breaks, [len(days) - 1]])
+            lengths = ends - starts + 1
+            out.append((key, len(days), len(lengths), int(lengths.max())))
+        return pd.DataFrame(
+            out, columns=[key_col, "n_days", "n_islands", "max_island"]
+        ).astype({c: np.int64 for c in ("n_days", "n_islands", "max_island")})
+
+    res = pairs.groupby(key_col).map_groups(walk, batch_format="pandas").to_pandas()
+    return res.sort_values(key_col).reset_index(drop=True)
+
+
+def latest_per_key(
+    ds: rd.Dataset,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+) -> pd.DataFrame:
+    """Latest record per key -> DataFrame (key, last_ts, last_id), the
+    lexicographic (ts, id) max so ties on the timestamp are deterministic.
+
+    This is the "keep newest" dedup step of a CDC/snapshot feed. Per-batch
+    argmax is the combiner (one row per key per block survives), then one
+    skinny hash-partition combine finishes the lexicographic max per key
+    — full rows never shuffle, and nothing materializes driver-side until
+    the one-row-per-key result.
+    """
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], ascending=False)
+        top = df.drop_duplicates(subset=[key_col], keep="first")
+        return pd.DataFrame(
+            {
+                key_col: top[key_col].to_numpy(),
+                "last_ts": top[ts_col].to_numpy(),
+                "last_id": top[id_col].to_numpy(np.int64),
+            }
+        )
+
+    partials = ds.select_columns([key_col, ts_col, id_col]).map_batches(
+        best, batch_format="pandas"
+    )
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["last_ts", "last_id"], ascending=False)
+        g = g.drop_duplicates(subset=[key_col], keep="first")
+        return g[[key_col, "last_ts", "last_id"]]
+
+    out = (
+        partials.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def corr_exact(
+    ds: rd.Dataset, x_col: str, y_col: str, unit: float = 100.0
+) -> pd.DataFrame:
+    """Exact Pearson correlation between two money columns -> one-row
+    DataFrame (n, sum_x_cents, sum_y_cents, corr_micro).
+
+    Both columns quantize to integer cents first; per-batch partials carry
+    the six moment sums (n, Sx, Sy, Sxx, Syy, Sxy) as int64 — exact for
+    any single block — and the driver finishes the reduction in Python
+    ints (arbitrary precision, no overflow at any scale). The final
+    correlation is computed as
+    ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))`` with
+    each integer cast to IEEE double exactly once — the oracle evaluates
+    the SAME expression over HUGEINT sums, so the doubles are
+    bit-identical and the micro-quantized hash matches. Rows where either
+    column is null are excluded on both sides.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[x_col].notna().to_numpy() & df[y_col].notna().to_numpy()
+        x = quant.quantize_i64(df[x_col].to_numpy(np.float64)[m], unit)
+        y = quant.quantize_i64(df[y_col].to_numpy(np.float64)[m], unit)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    parts = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    n, sx, sy, sxx, syy, sxy = (int(parts[c].sum()) for c in parts.columns)
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    corr = num / den if den else 0.0
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "sum_x_cents": [np.int64(sx)],
+            "sum_y_cents": [np.int64(sy)],
+            "corr_micro": [quant.quantize_i64(np.array([corr]), 1e6)[0]],
+        }
+    )
+
+
+def ntile_bucketize(
+    ds: rd.Dataset,
+    value_col: str,
+    key_col: str,
+    n_buckets: int,
+    unit: float = 100.0,
+) -> rd.Dataset:
+    """Global NTILE(n) over (value, key) -> lazy Dataset (key, bucket),
+    exactly matching SQL ``NTILE(n) OVER (ORDER BY cents(value), key)``.
+
+    Quantile bucketing for stratified splits / difficulty tiers. Three
+    passes, none of which shuffles data rows:
+
+    1. distributed value counts of the quantized value (same combiner +
+       bounded-cardinality contract as :func:`sketch.exact_quantiles`);
+       the driver walks cumulative counts to place the n-1 boundary RANKS
+       (NTILE: the first N%n buckets get one extra row).
+    2. only when a boundary rank lands strictly inside a tie run does a
+       second pruned pass fetch the keys AT that value (a filter-read of
+       one value per split boundary) to pick the exact key threshold.
+    3. a stateless broadcast-compare map assigns each row its bucket from
+       the <=n-1 (cents, key) boundary pairs riding the task closure.
+    """
+    import pyarrow.compute as pc
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        c = quant.cents_pa(t[value_col].combine_chunks(), unit)
+        vc = pc.value_counts(pc.drop_null(c))
+        return pa.table(
+            {"cents": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        _combine.combine_partials(
+            ds.select_columns([value_col]).map_batches(
+                counts_partial, batch_format="pyarrow"
+            ),
+            keys=["cents"],
+            sums=["cnt"],
+        )
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    cum = counts["cnt"].cumsum().to_numpy(np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    base, rem = divmod(total, n_buckets)
+    # boundary ranks: last row (1-based) of buckets 1..n-1
+    bounds: list[int] = []
+    r = 0
+    for b in range(1, n_buckets):
+        r += base + (1 if b <= rem else 0)
+        bounds.append(r)
+
+    vals = counts["cents"].to_numpy(np.int64)
+    need_keys: dict[int, list[int]] = {}  # cents value -> boundary ranks inside it
+    for r in bounds:
+        pos = int(np.searchsorted(cum, r, side="left"))
+        v = int(vals[pos])
+        before = int(cum[pos - 1]) if pos else 0
+        if r != int(cum[pos]):
+            need_keys.setdefault(v, []).append(r - before)  # k-th smallest key at v
+    if need_keys:
+        split_vals = np.array(sorted(need_keys), np.int64)
+
+        def fetch_keys(t: pa.Table) -> pa.Table:
+            c = quant.cents_pa(t[value_col].combine_chunks(), unit)
+            mask = pc.is_in(c, value_set=pa.array(split_vals, pa.int64()))
+            kept = t.filter(mask)
+            return pa.table(
+                {
+                    "cents": pc.cast(quant.cents_pa(kept[value_col].combine_chunks(), unit), pa.int64()),
+                    "key": pc.cast(kept[key_col].combine_chunks(), pa.int64()),
+                }
+            )
+
+        keys_at = (
+            ds.select_columns([value_col, key_col])
+            .map_batches(fetch_keys, batch_format="pyarrow")
+            .to_pandas()
+        )
+        key_threshold: dict[tuple[int, int], int] = {}
+        for v, grp in keys_at.groupby("cents"):
+            ks = np.sort(grp["key"].to_numpy(np.int64))
+            for kth in need_keys[int(v)]:
+                key_threshold[(int(v), kth)] = int(ks[kth - 1])
+    # materialize the boundary (cents, key) pairs in rank order
+    final_bounds: list[tuple[int, int]] = []
+    for r in bounds:
+        pos = int(np.searchsorted(cum, r, side="left"))
+        v = int(vals[pos])
+        before = int(cum[pos - 1]) if pos else 0
+        if r == int(cum[pos]):
+            final_bounds.append((v, np.iinfo(np.int64).max))
+        else:
+            final_bounds.append((v, key_threshold[(v, r - before)]))
+    bc = np.array([p[0] for p in final_bounds], np.int64)
+    bk = np.array([p[1] for p in final_bounds], np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = quant.quantize_i64(df[value_col].to_numpy(np.float64), unit)
+        k = df[key_col].to_numpy(np.int64)
+        bucket = np.ones(len(c), np.int64)
+        for i in range(len(bc)):  # <= n-1 vectorized compares, n is small
+            past = (c > bc[i]) | ((c == bc[i]) & (k > bk[i]))
+            bucket += past.astype(np.int64)
+        return pd.DataFrame({key_col: k, "bucket": bucket})
+
+    return ds.select_columns([value_col, key_col]).map_batches(
+        assign, batch_format="pandas"
+    )

@@ -1,0 +1,223 @@
+"""Tests for the analytic operators (rollup, mode, gaps-and-islands,
+latest-per-key, exact correlation, NTILE bucketing) and the
+bloom-filtered semi-join — each checked against a naive pandas
+reference, plus synthetic edge cases (ties at bucket boundaries, bloom
+false positives, single-island users) the testdata may not contain."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _cents(v):
+    v = np.asarray(v, np.float64) * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def test_rollup_revenue(rd):
+    from rayquality.ops import analytic
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    got = analytic.rollup_revenue(orders)
+
+    df = pd.read_parquet(f"{SF}/orders.parquet")
+    df["yr"] = df["o_orderdate"].dt.year
+    df["cents"] = _cents(df["o_totalprice"])
+    fine = df.groupby(["yr", "o_orderstatus"]).agg(
+        n=("cents", "size"), sum_cents=("cents", "sum")
+    )
+    # level 0 rows reproduce the finest grouping exactly
+    lvl0 = got[got["lvl"] == 0].set_index(["yr", "status"])
+    assert len(lvl0) == len(fine)
+    for (yr, st), row in fine.iterrows():
+        assert lvl0.loc[(yr, st), "n"] == row["n"]
+        assert lvl0.loc[(yr, st), "sum_cents"] == row["sum_cents"]
+    # level 1 sums per year; level 2 grand total
+    lvl1 = got[got["lvl"] == 1]
+    assert (lvl1["status"] == "ALL").all()
+    per_year = df.groupby("yr")["cents"].sum()
+    assert dict(zip(lvl1["yr"], lvl1["sum_cents"])) == per_year.to_dict()
+    lvl2 = got[got["lvl"] == 2]
+    assert len(lvl2) == 1
+    assert lvl2["sum_cents"].iloc[0] == df["cents"].sum()
+    assert lvl2["n"].iloc[0] == len(df)
+
+
+def test_mode_per_group_tiebreak(rd):
+    from rayquality.ops import analytic
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "b"],
+            "v": ["x", "x", "y", "y", "q", "p"],  # a: tie x/y -> x; b: tie p/q -> p
+        }
+    )
+    got = analytic.mode_per_group(rd.from_pandas(df), "g", "v")
+    assert got["g"].tolist() == ["a", "b"]
+    assert got["mode_value"].tolist() == ["x", "p"]
+    assert got["n"].tolist() == [2, 1]
+
+
+def test_gaps_islands_synthetic(rd):
+    from rayquality.ops import analytic
+
+    # user 1: days 0,1,2, 5,6, 9 -> islands of len 3,2,1
+    # user 2: one day -> one island of len 1
+    days1 = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-06", "2024-01-07", "2024-01-10"]
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 7 + [2],
+            # a second event on an existing day must not split islands
+            "ts": pd.to_datetime(
+                days1 + ["2024-01-01 23:59:00", "2024-02-01"], format="mixed"
+            ),
+        }
+    )
+    got = analytic.gaps_islands(rd.from_pandas(df))
+    assert got.loc[got.user_id == 1].iloc[0].tolist() == [1, 6, 3, 3]
+    assert got.loc[got.user_id == 2].iloc[0].tolist() == [2, 1, 1, 1]
+
+
+def test_gaps_islands_events(rd):
+    from rayquality.ops import analytic
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = analytic.gaps_islands(ev)
+
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    days = (
+        pd.DataFrame(
+            {
+                "u": df["user_id"].to_numpy(),
+                "d": df["ts"].to_numpy(dtype="datetime64[D]").astype(np.int64),
+            }
+        )
+        .drop_duplicates()
+        .sort_values(["u", "d"])
+    )
+    for u, grp in days.groupby("u"):
+        d = grp["d"].to_numpy()
+        row = got[got["user_id"] == u].iloc[0]
+        assert row["n_days"] == len(d)
+        assert row["n_islands"] == 1 + int((np.diff(d) > 1).sum())
+
+
+def test_latest_per_key(rd):
+    from rayquality.ops import analytic
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    got = analytic.latest_per_key(orders)
+    df = pd.read_parquet(f"{SF}/orders.parquet")
+    want = (
+        df.sort_values(["o_orderdate", "o_orderkey"], ascending=False)
+        .drop_duplicates("o_custkey")
+        .sort_values("o_custkey")
+    )
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+    assert got["last_id"].tolist() == want["o_orderkey"].tolist()
+    assert (got["last_ts"].to_numpy() == want["o_orderdate"].to_numpy()).all()
+
+
+def test_corr_exact_matches_numpy(rd):
+    from rayquality.ops import analytic
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = analytic.corr_exact(li, "l_quantity", "l_extendedprice")
+    df = pd.read_parquet(f"{SF}/lineitem.parquet")
+    x = _cents(df["l_quantity"]).astype(np.float64)
+    y = _cents(df["l_extendedprice"]).astype(np.float64)
+    ref = np.corrcoef(x, y)[0, 1]
+    assert got["n"].iloc[0] == len(df)
+    assert abs(got["corr_micro"].iloc[0] / 1e6 - ref) < 1e-4
+
+
+def test_ntile_sizes_and_order(rd):
+    from rayquality.ops import analytic
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    got = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 7).to_pandas()
+    df = pd.read_parquet(f"{SF}/orders.parquet")
+    n = len(df)
+    sizes = got["bucket"].value_counts().sort_index()
+    base, rem = divmod(n, 7)
+    assert sizes.tolist() == [base + 1] * rem + [base] * (7 - rem)
+    # ordering: every row in bucket b sorts <= every row in bucket b+1
+    key = pd.DataFrame(
+        {"k": df["o_orderkey"], "c": _cents(df["o_totalprice"])}
+    ).merge(got, left_on="k", right_on="o_orderkey")
+    key = key.sort_values(["c", "k"]).reset_index(drop=True)
+    assert (np.diff(key["bucket"].to_numpy()) >= 0).all()
+
+
+def test_ntile_tie_run_split(rd):
+    from rayquality.ops import analytic
+
+    # 9 rows all the SAME value: NTILE(3) must split the tie run by key
+    df = pd.DataFrame({"v": [5.0] * 9, "k": np.arange(100, 109, dtype=np.int64)})
+    got = (
+        analytic.ntile_bucketize(rd.from_pandas(df), "v", "k", 3)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert got["bucket"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_bloom_semi_join_exact(rd):
+    from rayquality.ops import bloom
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    urgent = orders.filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+    got = (
+        bloom.bloom_semi_join(
+            li, "l_orderkey", urgent, "o_orderkey", ["l_orderkey", "l_linenumber"]
+        )
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    ldf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    odf = pd.read_parquet(f"{SF}/orders.parquet")
+    keys = set(odf.loc[odf["o_orderpriority"] == "1-URGENT", "o_orderkey"])
+    want = (
+        ldf[ldf["l_orderkey"].isin(keys)][["l_orderkey", "l_linenumber"]]
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert got["l_linenumber"].dtype == want["l_linenumber"].dtype  # int32 survives
+
+
+def test_bloom_false_positives_removed(rd):
+    from rayquality.ops import bloom
+
+    # a TINY filter (64 bits) over 40 right keys forces false positives;
+    # the verify stage must still return the exact semi-join
+    left = pd.DataFrame({"k": np.arange(0, 2000, dtype=np.int64), "p": np.arange(2000)})
+    right = pd.DataFrame({"rk": np.arange(0, 2000, 50, dtype=np.int64)})
+    got = (
+        bloom.bloom_semi_join(
+            rd.from_pandas(left), "k", rd.from_pandas(right), "rk", ["k", "p"],
+            m_bits=64,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == list(range(0, 2000, 50))
+
+    # sanity: the raw bloom pass at 64 bits really does admit extras
+    import ray
+
+    bits = ray.get(bloom.build_bloom(rd.from_pandas(right), "rk", m_bits=64))
+    admitted = bloom._bloom_test(left["k"].to_numpy(), bits, 64).sum()
+    assert admitted > len(right)
