@@ -718,6 +718,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
         return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
+    def char_stats_documents(sf):
+        from rayquality.ops import text as text_ops
+
+        (docs,) = _tables(sf, "documents")
+        out = text_ops.char_stats(docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def first_event_per_user_day(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.first_per_key_window(ev).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
     def bloom_semi_join_lineitem(sf):
         from rayquality.ops import bloom
 
@@ -964,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": corr_quantity_price,
         "ntile_orders_price": ntile_orders_price,
         "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+        "char_stats_documents": char_stats_documents,
+        "first_event_per_user_day": first_event_per_user_day,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1473,6 +1489,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "  WHERE o_orderpriority = '1-URGENT') "
             "ORDER BY l_orderkey, l_linenumber"
+        ),
+        "char_stats_documents": (
+            # codepoint-level stats; docs with null/empty text profile as
+            # zeros on both sides (the unnest branch emits no row for them)
+            "WITH cs AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+            "  FROM documents WHERE text IS NOT NULL AND len(text) > 0), "
+            "c AS (SELECT doc_id, ch, COUNT(*) AS n FROM cs GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_cp, "
+            "  CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "  CAST(MAX(n) AS BIGINT) AS max_char_n FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.n_cp, 0) AS n_cp, "
+            "COALESCE(a.n_distinct, 0) AS n_distinct, "
+            "COALESCE(a.max_char_n, 0) AS max_char_n "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
+            "ORDER BY d.doc_id"
+        ),
+        "first_event_per_user_day": (
+            "WITH r AS (SELECT event_id, user_id, ts, "
+            "  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
+            "  ORDER BY ts, event_id) AS rn FROM events) "
+            "SELECT event_id, user_id, ts FROM r WHERE rn = 1 ORDER BY event_id"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine

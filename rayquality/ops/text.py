@@ -254,3 +254,43 @@ def tfidf_top_terms(
         .groupby("pkey")
         .map_groups(per_doc_part, batch_format="pandas")
     )
+
+
+def char_stats(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Codepoint-distribution profile per document -> lazy Dataset
+    (id, n_cp, n_distinct, max_char_n), all int64-exact.
+
+    Character diversity is a standard junk-text signal (a doc whose most
+    frequent codepoint dominates is padding/ASCII art; near-zero distinct
+    count is key-mashing). The batch kernel never loops rows: all texts
+    join into ONE buffer, one utf-32 encode exposes the codepoints as a
+    uint32 vector, and per-(doc, codepoint) counts come from a single
+    ``np.unique`` over a packed ``doc_idx << 21 | cp`` key (codepoints are
+    < 2^21, batch row counts < 2^42). Null/empty text profiles as zeros.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks().fill_null("").to_pylist()
+        lens = np.array([len(s) for s in texts], np.int64)
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.uint64), lens)
+        packed = (doc_idx << np.uint64(21)) | cps.astype(np.uint64)
+        keys, counts = np.unique(packed, return_counts=True)
+        owner = (keys >> np.uint64(21)).astype(np.int64)
+        n_cp = np.zeros(len(texts), np.int64)
+        np.add.at(n_cp, owner, counts)
+        n_distinct = np.bincount(owner, minlength=len(texts)).astype(np.int64)
+        max_n = np.zeros(len(texts), np.int64)
+        np.maximum.at(max_n, owner, counts)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_cp": pa.array(n_cp),
+                "n_distinct": pa.array(n_distinct),
+                "max_char_n": pa.array(max_n),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )

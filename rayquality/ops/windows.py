@@ -554,3 +554,57 @@ def funnel_counts(
     out["step_idx"] = out["step_idx"].astype(np.int64)
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("step_idx").reset_index(drop=True)
+
+
+def first_per_key_window(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Windowed dedup: keep only the FIRST event per (key, calendar day)
+    -> lazy Dataset (id, key, ts). "First" is the lexicographic
+    (ts, id) min, so ties at the same timestamp are deterministic.
+
+    This is the collapse step for event feeds that double-fire (retries,
+    at-least-once ingestion): one representative per key-day survives.
+    The per-batch kernel keeps one row per (key, day) (combiner), then
+    one skinny hash-partition combine on the pair key finishes the min —
+    full event rows never shuffle and only winners leave each partition.
+    """
+    from .combine import DEFAULT_N_PARTS
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                key_col: df[key_col].to_numpy(np.int64),
+                ts_col: df[ts_col].to_numpy(),
+                "_day": df[ts_col].to_numpy(dtype="datetime64[D]").astype(np.int64),
+            }
+        )
+        out = out.sort_values([ts_col, id_col])
+        return out.drop_duplicates(subset=[key_col, "_day"], keep="first")
+
+    partials = ds.select_columns([id_col, key_col, ts_col]).map_batches(
+        best, batch_format="pandas"
+    )
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(
+            df[[key_col, "_day"]], index=False
+        ).to_numpy(np.uint64)
+        df["pkey"] = (h % np.uint64(DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        g = g.drop_duplicates(subset=[key_col, "_day"], keep="first")
+        return g[[id_col, key_col, ts_col]]
+
+    return (
+        partials.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -221,3 +221,67 @@ def test_bloom_false_positives_removed(rd):
     bits = ray.get(bloom.build_bloom(rd.from_pandas(right), "rk", m_bits=64))
     admitted = bloom._bloom_test(left["k"].to_numpy(), bits, 64).sum()
     assert admitted > len(right)
+
+
+def test_char_stats_multibyte_and_empty(rd):
+    from rayquality.ops import text as text_ops
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["aab€€€", "", None, "xxxx"],
+        }
+    )
+    got = (
+        text_ops.char_stats(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_cp"].tolist() == [6, 0, 0, 4]  # € is ONE codepoint
+    assert got["n_distinct"].tolist() == [3, 0, 0, 1]
+    assert got["max_char_n"].tolist() == [3, 0, 0, 4]
+
+
+def test_char_stats_documents(rd):
+    from rayquality.ops import text as text_ops
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    got = (
+        text_ops.char_stats(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    for _, row in df.head(50).iterrows():
+        s = row["text"] or ""
+        want = got[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert want["n_cp"] == len(s)
+        assert want["n_distinct"] == len(set(s))
+        assert want["max_char_n"] == (max(s.count(c) for c in set(s)) if s else 0)
+
+
+def test_first_per_key_window_ties(rd):
+    from rayquality.ops import windows
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 09:00",  # u1 day1 winner (tie on ts -> min event_id)
+            "2024-01-01 09:00",
+            "2024-01-01 17:00",
+            "2024-01-02 00:00",  # u1 day2 winner
+            "2024-01-01 12:00",  # u2 day1 winner
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [11, 10, 12, 13, 20],
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": ts,
+        }
+    )
+    got = (
+        windows.first_per_key_window(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == [10, 13, 20]
