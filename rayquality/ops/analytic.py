@@ -228,10 +228,13 @@ def corr_exact(
     DataFrame (n, sum_x_cents, sum_y_cents, corr_micro).
 
     Both columns quantize to integer cents first; per-batch partials carry
-    the six moment sums (n, Sx, Sy, Sxx, Syy, Sxy) as int64 — exact for
-    any single block — and the driver finishes the reduction in Python
-    ints (arbitrary precision, no overflow at any scale). The final
-    correlation is computed as
+    the six moment sums (n, Sx, Sy, Sxx, Syy, Sxy) EXACTLY at any
+    magnitude: products accumulate in int64 over chunks sized so no
+    partial can overflow (falling back to object-int math only when a
+    single product exceeds int64), and the sums travel as decimal strings
+    so the partial schema itself can't overflow. The driver finishes the
+    reduction in Python ints (arbitrary precision). The final correlation
+    is computed as
     ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))`` with
     each integer cast to IEEE double exactly once — the oracle evaluates
     the SAME expression over HUGEINT sums, so the doubles are
@@ -239,18 +242,35 @@ def corr_exact(
     column is null are excluded on both sides.
     """
 
+    def _exact_prod_sum(a: np.ndarray, b: np.ndarray) -> int:
+        """sum(a*b) exactly: vectorized int64 chunks, object-int fallback."""
+        if not len(a):
+            return 0
+        ma = int(np.abs(a).max())
+        mb = int(np.abs(b).max())
+        if ma * mb >= 1 << 62:  # a single product could overflow int64
+            return int((a.astype(object) * b.astype(object)).sum())
+        prod = a * b
+        chunk = max(1, (1 << 62) // max(1, ma * mb))
+        if chunk >= len(prod):
+            return int(prod.sum())
+        return sum(
+            int(prod[i : i + chunk].sum()) for i in range(0, len(prod), chunk)
+        )
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         m = df[x_col].notna().to_numpy() & df[y_col].notna().to_numpy()
         x = quant.quantize_i64(df[x_col].to_numpy(np.float64)[m], unit)
         y = quant.quantize_i64(df[y_col].to_numpy(np.float64)[m], unit)
+        ones = np.ones(len(x), np.int64)
         return pd.DataFrame(
             {
                 "n": [np.int64(len(x))],
-                "sx": [x.sum()],
-                "sy": [y.sum()],
-                "sxx": [(x * x).sum()],
-                "syy": [(y * y).sum()],
-                "sxy": [(x * y).sum()],
+                "sx": [str(_exact_prod_sum(x, ones))],
+                "sy": [str(_exact_prod_sum(y, ones))],
+                "sxx": [str(_exact_prod_sum(x, x))],
+                "syy": [str(_exact_prod_sum(y, y))],
+                "sxy": [str(_exact_prod_sum(x, y))],
             }
         )
 
@@ -259,7 +279,10 @@ def corr_exact(
         .map_batches(partial, batch_format="pandas")
         .to_pandas()
     )
-    n, sx, sy, sxx, syy, sxy = (int(parts[c].sum()) for c in parts.columns)
+    n = int(parts["n"].sum())
+    sx, sy, sxx, syy, sxy = (
+        sum(int(v) for v in parts[c]) for c in ("sx", "sy", "sxx", "syy", "sxy")
+    )
     num = float(n * sxy - sx * sy)
     den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
     corr = num / den if den else 0.0

@@ -54,9 +54,12 @@ def build_bloom(ds: rd.Dataset, key_col: str, m_bits: int = 1 << 23) -> "ray.Obj
     uint8 bit array (m_bits/8 bytes, 1 MiB at the default).
 
     Each batch sets its keys' bits into a fresh local array and emits the
-    packed bytes as ONE row; the driver ORs the per-batch partials (a few
-    hundred x 1 MiB at most — bounded by block count, not row count) and
-    ``ray.put``s the final array once for every downstream task to share.
+    packed bytes as ONE row. The partials then OR-reduce in a distributed
+    fan-in stage (``repartition(16)`` + per-block OR) so the driver pulls
+    at most 16 x m/8 bytes regardless of input block count — at cluster
+    scale the naive plan (every block's 1 MiB partial to the driver) is
+    an O(blocks x m) driver hotspot. The final array ships once via
+    ``ray.put`` for every downstream task to share.
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,8 +69,17 @@ def build_bloom(ds: rd.Dataset, key_col: str, m_bits: int = 1 << 23) -> "ray.Obj
                              np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = ds.select_columns([key_col]).map_batches(
-        partial, batch_format="pandas", batch_size=65536
+    def or_block(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits >> 3, np.uint8)
+        for blob in df["bits"]:
+            acc |= np.frombuffer(blob, np.uint8)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    parts = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(or_block, batch_format="pandas", batch_size=None)
     )
     acc = np.zeros(m_bits >> 3, np.uint8)
     for batch in parts.iter_batches(batch_format="pandas"):

@@ -203,6 +203,46 @@ def main() -> None:
         ),
     )
 
+    # ---- session-4 additions: analytic suite, bloom join, char stats -------
+    from rayquality.ops import analytic, bloom
+    from rayquality.ops import text as text_ops
+
+    run("rollup_revenue", n_ord, lambda: analytic.rollup_revenue(orders()))
+    run(
+        "mode_per_group",
+        n_ord,
+        lambda: analytic.mode_per_group(orders(), "o_orderstatus", "o_orderpriority"),
+    )
+    run("gaps_islands", n_ev, lambda: analytic.gaps_islands(events()))
+    run("latest_per_key", n_ord, lambda: analytic.latest_per_key(orders()))
+    run(
+        "corr_exact",
+        n_ord,
+        lambda: analytic.corr_exact(orders(), "o_totalprice", "o_custkey"),
+    )
+    run(
+        "ntile_bucketize",
+        n_ord,
+        lambda: analytic.ntile_bucketize(orders(), "o_totalprice", "o_orderkey", 8),
+    )
+    run(
+        "bloom_semi_join",
+        n_ord,
+        lambda: bloom.bloom_semi_join(
+            orders(),
+            "o_custkey",
+            events().filter(lambda r: r["event_type"] == "purchase"),
+            "user_id",
+            ["o_orderkey", "o_custkey"],
+        ),
+    )
+    run("char_stats", n_docs, lambda: text_ops.char_stats(docs()))
+    run(
+        "first_per_key_window",
+        n_ev,
+        lambda: windows.first_per_key_window(events()),
+    )
+
     print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "n_orders": n_ord, "ops": results}))
     ray.shutdown()
 
