@@ -718,6 +718,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
         return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
+    def distribution_drift_orders(sf):
+        """Drift between the full orders table and a deterministically
+        derived 'new snapshot' (orderkeys not divisible by 3, prices
+        shifted +10%) so the oracle can rebuild the identical snapshot."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import profile
+
+        (old,) = _tables(sf, "orders")
+
+        def mutate(t: pa.Table) -> pa.Table:
+            ids = t["o_orderkey"]
+            keep = pc.not_equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3)), 0
+            )
+            t2 = t.filter(keep)
+            return pa.table(
+                {"o_totalprice": pc.multiply(t2["o_totalprice"], pa.scalar(1.1))}
+            )
+
+        (old2,) = _tables(sf, "orders")
+        new = old2.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+            mutate, batch_format="pyarrow"
+        )
+        return profile.distribution_drift(old, new, "o_totalprice", bin_units=2_000_000)
+
+    def conditional_rule_events(sf):
+        (ev,) = _tables(sf, "events")
+        return validators.conditional_rule(
+            ev, "event_type", "purchase", "props", r"\"k\""
+        )
+
+    def temporal_consistency_lineitem(sf):
+        li, orders = _tables(sf, "lineitem", "orders")
+        return validators.temporal_consistency(
+            li, orders, "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate"
+        )
+
     def char_stats_documents(sf):
         from rayquality.ops import text as text_ops
 
@@ -980,6 +1019,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
         "char_stats_documents": char_stats_documents,
         "first_event_per_user_day": first_event_per_user_day,
+        "distribution_drift_orders": distribution_drift_orders,
+        "conditional_rule_events": conditional_rule_events,
+        "temporal_consistency_lineitem": temporal_consistency_lineitem,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1510,6 +1552,39 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
             "  ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT event_id, user_id, ts FROM r WHERE rn = 1 ORDER BY event_id"
+        ),
+        "distribution_drift_orders": (
+            # FLOOR division via positive mod (DuckDB // truncates toward
+            # zero, numpy // floors — they differ on negative cents)
+            "WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c "
+            "  FROM orders WHERE o_totalprice IS NOT NULL), "
+            "n AS (SELECT CAST(ROUND(o_totalprice * 1.1 * 100) AS BIGINT) AS c "
+            "  FROM orders WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL), "
+            "ob AS (SELECT (c - ((c % 2000000) + 2000000) % 2000000) // 2000000 AS bin, "
+            "  COUNT(*) AS n_old FROM o GROUP BY 1), "
+            "nb AS (SELECT (c - ((c % 2000000) + 2000000) % 2000000) // 2000000 AS bin, "
+            "  COUNT(*) AS n_new FROM n GROUP BY 1) "
+            "SELECT COALESCE(ob.bin, nb.bin) AS bin, "
+            "COALESCE(ob.n_old, 0) AS n_old, COALESCE(nb.n_new, 0) AS n_new "
+            "FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin ORDER BY bin"
+        ),
+        "conditional_rule_events": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_applicable, "
+            "CAST(COUNT(*) - SUM(CASE WHEN props IS NOT NULL "
+            "  AND regexp_matches(props, '\"k\"') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violations, "
+            "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_null_then "
+            "FROM events WHERE event_type = 'purchase'"
+        ),
+        "temporal_consistency_lineitem": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_checked, "
+            "CAST(SUM(CASE WHEN o.o_orderdate IS NOT NULL "
+            "  AND l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violations, "
+            "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_orphans "
+            "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine

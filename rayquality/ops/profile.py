@@ -161,3 +161,44 @@ def iqr_outlier_counts(
     )
     out = out[[group_col, "q1_units", "q3_units", "n_outliers", "n_rows"]]
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def distribution_drift(
+    ds_old: rd.Dataset,
+    ds_new: rd.Dataset,
+    column: str,
+    bin_units: int = 10_000,
+    unit: float = 100.0,
+) -> pd.DataFrame:
+    """Value-distribution drift between two snapshots -> DataFrame
+    (bin, n_old, n_new): per fixed-width bin of the quantized value, the
+    row count in each snapshot. The PSI / chi-square on top is a trivial
+    driver-side formula over this (tiny, integer-exact) table — the op
+    keeps the oracle-verifiable part exact and leaves the float score to
+    the caller.
+
+    Bins are floor(cents / bin_units) (floor, not truncation: negative
+    values bin downward on both engines). Each snapshot reduces with the
+    same per-batch bincount combiner; the combine shuffle carries one row
+    per occupied bin per block. Nulls are excluded on both sides.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[column].dropna().to_numpy(np.float64)
+        b = quant.quantize_i64(v, unit) // np.int64(bin_units)
+        bins, counts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": bins, "n": counts.astype(np.int64)})
+
+    def side(ds: rd.Dataset) -> pd.DataFrame:
+        return _combine.combine_partials(
+            ds.select_columns([column]).map_batches(partial, batch_format="pandas"),
+            keys=["bin"],
+            sums=["n"],
+        ).to_pandas()
+
+    old = side(ds_old).rename(columns={"n": "n_old"})
+    new = side(ds_new).rename(columns={"n": "n_new"})
+    out = old.merge(new, on="bin", how="outer").fillna(0)
+    out["n_old"] = out["n_old"].astype(np.int64)
+    out["n_new"] = out["n_new"].astype(np.int64)
+    return out.sort_values("bin").reset_index(drop=True)

@@ -569,3 +569,89 @@ def aggregate_consistency(
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def conditional_rule(
+    ds: rd.Dataset,
+    when_col: str,
+    when_val: str,
+    then_col: str,
+    pattern: str,
+) -> pd.DataFrame:
+    """Conditional validity rule: rows where ``when_col == when_val`` must
+    have ``then_col`` matching ``pattern`` -> one-row DataFrame
+    (n_applicable, n_violations, n_null_then).
+
+    The reference's pattern validators are unconditional per-column
+    scans (``src/data_quality/validators/duplicates.py:30-34`` builds the
+    pattern sets once per table); real rulebooks are conditional ("if
+    type is purchase, props must be well-formed"). One vectorized
+    RE2 pass per batch (pyarrow ``match_substring_regex``), counts sum on
+    the driver — no shuffle at all. A null ``then_col`` on an applicable
+    row counts as a violation AND is reported separately.
+    """
+    def partial(t: pa.Table) -> pd.DataFrame:
+        app = pc.equal(t[when_col], pa.scalar(when_val))
+        app = pc.fill_null(app, False)
+        sub = t.filter(app)
+        ok = pc.match_substring_regex(sub[then_col], pattern)
+        n_null = pc.sum(pc.is_null(ok)).as_py() or 0
+        n_ok = pc.sum(pc.fill_null(ok, False)).as_py() or 0
+        n_app = sub.num_rows
+        return pd.DataFrame(
+            {
+                "n_applicable": [np.int64(n_app)],
+                "n_violations": [np.int64(n_app - n_ok)],
+                "n_null_then": [np.int64(n_null)],
+            }
+        )
+
+    parts = (
+        ds.select_columns([when_col, then_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({c: [np.int64(parts[c].sum())] for c in parts.columns})
+
+
+def temporal_consistency(
+    child: rd.Dataset,
+    parent: rd.Dataset,
+    child_key: str,
+    parent_key: str,
+    child_ts: str,
+    parent_ts: str,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Cross-table temporal check: a child event must not precede its
+    parent (e.g. a line item shipped before its order was placed) ->
+    one-row DataFrame (n_checked, n_violations, n_orphans).
+
+    Same plan shape as :func:`aggregate_consistency`: the parent side
+    projects to (key, ts) only, the hash-partitioned ``Dataset.join``
+    (left_outer from the child so orphans surface) moves each table once,
+    and the comparison + count reduce per batch to three integers.
+    """
+    pdates = parent.select_columns([parent_key, parent_ts])
+    j = child.select_columns([child_key, child_ts]).join(
+        pdates,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(child_key,),
+        right_on=(parent_key,),
+    )
+
+    def count(t: pa.Table) -> pd.DataFrame:
+        pts = t[parent_ts].combine_chunks()
+        orphan = pc.is_null(pts)
+        viol = pc.fill_null(pc.less(t[child_ts].combine_chunks(), pts), False)
+        return pd.DataFrame(
+            {
+                "n_checked": [np.int64(t.num_rows)],
+                "n_violations": [np.int64(pc.sum(viol).as_py() or 0)],
+                "n_orphans": [np.int64(pc.sum(orphan).as_py() or 0)],
+            }
+        )
+
+    parts = j.map_batches(count, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({c: [np.int64(parts[c].sum())] for c in parts.columns})

@@ -285,3 +285,54 @@ def test_first_per_key_window_ties(rd):
         .reset_index(drop=True)
     )
     assert got["event_id"].tolist() == [10, 13, 20]
+
+
+def test_distribution_drift_negative_bins(rd):
+    from rayquality.ops import profile
+
+    old = pd.DataFrame({"v": [-25.0, -5.0, 5.0, 15.0, None]})
+    new = pd.DataFrame({"v": [-25.0, 35.0]})
+    got = profile.distribution_drift(
+        rd.from_pandas(old), rd.from_pandas(new), "v", bin_units=1000
+    )
+    # cents: -2500,-500,500,1500 -> bins floor(c/1000): -3,-1,0,1
+    assert got["bin"].tolist() == [-3, -1, 0, 1, 3]
+    assert got["n_old"].tolist() == [1, 1, 1, 1, 0]
+    assert got["n_new"].tolist() == [1, 0, 0, 0, 1]
+
+
+def test_conditional_rule_violations(rd):
+    from rayquality.ops import validators
+
+    df = pd.DataFrame(
+        {
+            "t": ["a", "a", "a", "b", None],
+            "p": ["has-key", "nope", None, "irrelevant", "x"],
+        }
+    )
+    got = validators.conditional_rule(rd.from_pandas(df), "t", "a", "p", "key")
+    assert got["n_applicable"].iloc[0] == 3
+    assert got["n_violations"].iloc[0] == 2  # 'nope' and the null
+    assert got["n_null_then"].iloc[0] == 1
+
+
+def test_temporal_consistency_violations_and_orphans(rd):
+    from rayquality.ops import validators
+
+    child = pd.DataFrame(
+        {
+            "ck": [1, 1, 2, 9],
+            "cts": pd.to_datetime(
+                ["2024-01-05", "2023-12-31", "2024-02-02", "2024-03-03"]
+            ),
+        }
+    )
+    parent = pd.DataFrame(
+        {"pk": [1, 2], "pts": pd.to_datetime(["2024-01-01", "2024-02-01"])}
+    )
+    got = validators.temporal_consistency(
+        rd.from_pandas(child), rd.from_pandas(parent), "ck", "pk", "cts", "pts"
+    )
+    assert got["n_checked"].iloc[0] == 4
+    assert got["n_violations"].iloc[0] == 1  # 2023-12-31 before 2024-01-01
+    assert got["n_orphans"].iloc[0] == 1  # ck=9 has no parent
