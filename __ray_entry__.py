@@ -718,6 +718,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
         return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
+    def boilerplate_lines_documents(sf):
+        """Line-level boilerplate removal over composite docs derived
+        deterministically (5 consecutive docs joined with newlines) so
+        the corpus has multi-line documents with cross-doc repeated
+        lines and the SQL oracle can rebuild the identical input."""
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+
+        def add_cid(df):
+            import pandas as _pd
+
+            df = df.dropna(subset=["text"]).copy()
+            df["cid"] = df["doc_id"].to_numpy() // 5
+            return df[["cid", "doc_id", "text"]]
+
+        def join_group(g):
+            import pandas as _pd
+
+            g = g.sort_values("doc_id")
+            cid = g["cid"].iloc[0]
+            text = "\n".join(g["text"])
+            if cid % 2 == 0:  # inject a cross-doc banner into half the corpus
+                text = text + "\nNAV BANNER"
+            return _pd.DataFrame({"cid": [cid], "text": [text]})
+
+        comp = (
+            docs.select_columns(["doc_id", "text"])
+            .map_batches(add_cid, batch_format="pandas")
+            .groupby("cid")
+            .map_groups(join_group, batch_format="pandas")
+        )
+        out = curation.remove_boilerplate_lines(
+            comp, id_col="cid", text_col="text", max_doc_freq=2
+        ).to_pandas()
+        return out.sort_values("cid").reset_index(drop=True)
+
     def distribution_drift_orders(sf):
         """Drift between the full orders table and a deterministically
         derived 'new snapshot' (orderkeys not divisible by 3, prices
@@ -1019,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
         "char_stats_documents": char_stats_documents,
         "first_event_per_user_day": first_event_per_user_day,
+        "boilerplate_lines_documents": boilerplate_lines_documents,
         "distribution_drift_orders": distribution_drift_orders,
         "conditional_rule_events": conditional_rule_events,
         "temporal_consistency_lineitem": temporal_consistency_lineitem,
@@ -1552,6 +1590,24 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
             "  ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT event_id, user_id, ts FROM r WHERE rn = 1 ORDER BY event_id"
+        ),
+        "boilerplate_lines_documents": (
+            "WITH comp AS (SELECT cid, CASE WHEN cid % 2 = 0 "
+            "  THEN t || chr(10) || 'NAV BANNER' ELSE t END AS text FROM ("
+            "  SELECT doc_id // 5 AS cid, "
+            "  string_agg(text, chr(10) ORDER BY doc_id) AS t "
+            "  FROM documents WHERE text IS NOT NULL GROUP BY 1)), "
+            "L AS (SELECT cid, unnest(string_split(text, chr(10))) AS line, "
+            "  unnest(range(len(string_split(text, chr(10))))) AS i FROM comp), "
+            "F AS (SELECT line, COUNT(DISTINCT cid) AS nd FROM L GROUP BY line), "
+            "kept AS (SELECT l.cid, l.i, l.line FROM L l JOIN F USING (line) "
+            "  WHERE nd <= 2), "
+            "agg AS (SELECT cid, string_agg(line, chr(10) ORDER BY i) AS text_clean, "
+            "  COUNT(*) AS n_kept FROM kept GROUP BY cid) "
+            "SELECT c.cid, COALESCE(a.text_clean, '') AS text_clean, "
+            "CAST(len(string_split(c.text, chr(10))) - COALESCE(a.n_kept, 0) "
+            "  AS BIGINT) AS n_removed "
+            "FROM comp c LEFT JOIN agg a USING (cid) ORDER BY c.cid"
         ),
         "distribution_drift_orders": (
             # FLOOR division via positive mod (DuckDB // truncates toward

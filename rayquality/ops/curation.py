@@ -268,3 +268,101 @@ def decontaminate_embedding(
     return ds.select_columns([id_col, vec_col]).map_batches(
         flag, batch_format="pyarrow", batch_size=2048
     )
+
+
+def remove_boilerplate_lines(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+    delim: str = "\n",
+) -> rd.Dataset:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb curation
+    stage): delete every line that appears in more than ``max_doc_freq``
+    DISTINCT documents -> lazy Dataset (id, text_clean, n_removed).
+
+    Headers, footers, cookie banners and nav chrome repeat across a
+    site's pages; dropping lines by cross-document frequency strips them
+    without touching unique prose. Three stages:
+
+    1. per-batch distinct (line, doc) pairs (combiner: a line repeated
+       WITHIN one doc collapses before the shuffle) -> one skinny
+       combine on the pair -> per-line distinct-doc counts;
+    2. lines with count > ``max_doc_freq`` broadcast once via
+       ``ray.put`` as a frozenset (boilerplate vocabularies are small —
+       by construction a hot line appears in > ``max_doc_freq`` docs,
+       so |hot| < total_line_occurrences / max_doc_freq; pick the
+       threshold so this set stays broadcastable);
+    3. one stateless rewrite pass re-splits each doc, drops hot lines,
+       and re-joins in original order — no re-assembly shuffle, docs
+       whose every line is boilerplate survive with empty text.
+
+    The count stage shuffles full line strings (not hashes) so two
+    distinct lines can never merge — the oracle must agree exactly.
+    """
+    import ray
+
+    from . import combine as _combine
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if text_col not in df.columns or not len(df):  # column-less empty block
+            return pd.DataFrame(
+                {"line": pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "one": pd.Series([], dtype=np.int64)}
+            )
+        s = df[[id_col, text_col]].dropna(subset=[text_col]).copy()
+        s["line"] = s[text_col].str.split(delim)
+        e = s[[id_col, "line"]].explode("line", ignore_index=True)
+        e = e.drop_duplicates()
+        e["one"] = np.int64(1)
+        return e
+
+    pairs = _combine.combine_partials(
+        ds.select_columns([id_col, text_col]).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        keys=["line", id_col],
+        sums=["one"],
+    )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "line" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"line": pd.Series([], dtype=object),
+                 "nd": pd.Series([], dtype=np.int64)}
+            )
+        g = df.groupby("line", as_index=False).size().rename(columns={"size": "nd"})
+        g["nd"] = g["nd"].astype(np.int64)
+        return g
+
+    counts = _combine.combine_partials(
+        pairs.map_batches(line_partial, batch_format="pandas"),
+        keys=["line"],
+        sums=["nd"],
+    )
+    hot = counts.filter(lambda r: r["nd"] > max_doc_freq).to_pandas()
+    # an all-empty filter result arrives column-less (Ray to_pandas gotcha)
+    hot_lines = hot["line"].tolist() if "line" in hot.columns else []
+    hot_ref = ray.put(frozenset(hot_lines))
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        hot_set = ray.get(hot_ref)
+        ids, texts, removed = [], [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+            lines = t.split(delim) if isinstance(t, str) else []
+            kept = [ln for ln in lines if ln not in hot_set]
+            ids.append(i)
+            texts.append(delim.join(kept))
+            removed.append(len(lines) - len(kept))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids),
+                "text_clean": texts,
+                "n_removed": np.asarray(removed, np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rewrite, batch_format="pandas"
+    )

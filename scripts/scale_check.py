@@ -238,6 +238,13 @@ def main() -> None:
     )
     run("char_stats", n_docs, lambda: text_ops.char_stats(docs()))
     run(
+        "boilerplate_lines",
+        n_docs,
+        # 100-way replicated texts = every line is boilerplate at freq>2:
+        # worst-case hot-set size and full rewrite volume
+        lambda: curation.remove_boilerplate_lines(docs(), max_doc_freq=2),
+    )
+    run(
         "first_per_key_window",
         n_ev,
         lambda: windows.first_per_key_window(events()),

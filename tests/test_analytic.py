@@ -336,3 +336,51 @@ def test_temporal_consistency_violations_and_orphans(rd):
     assert got["n_checked"].iloc[0] == 4
     assert got["n_violations"].iloc[0] == 1  # 2023-12-31 before 2024-01-01
     assert got["n_orphans"].iloc[0] == 1  # ck=9 has no parent
+
+
+def test_remove_boilerplate_lines(rd):
+    from rayquality.ops import curation
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "COOKIE BANNER\nunique prose one",
+                "COOKIE BANNER\nunique prose two",
+                "COOKIE BANNER\nCOOKIE BANNER\nunique prose three",
+                "COOKIE BANNER",  # all-boilerplate doc survives, empty
+            ],
+        }
+    )
+    got = (
+        curation.remove_boilerplate_lines(
+            rd.from_pandas(df), max_doc_freq=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the banner is in 4 > 2 distinct docs -> removed everywhere,
+    # including BOTH occurrences inside doc 3
+    assert got["text_clean"].tolist() == [
+        "unique prose one",
+        "unique prose two",
+        "unique prose three",
+        "",
+    ]
+    assert got["n_removed"].tolist() == [1, 1, 2, 1]
+
+
+def test_remove_boilerplate_under_threshold(rd):
+    from rayquality.ops import curation
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["shared\na", "shared\nb"]}
+    )
+    got = (
+        curation.remove_boilerplate_lines(rd.from_pandas(df), max_doc_freq=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # 'shared' is in exactly 2 docs = threshold -> kept
+    assert got["n_removed"].tolist() == [0, 0]
