@@ -718,6 +718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
         return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
+    def resample_hourly_events(sf):
+        (ev,) = _tables(sf, "events")
+        return relational.resample_hourly_counts(ev)
+
     def boilerplate_lines_documents(sf):
         """Line-level boilerplate removal over composite docs derived
         deterministically (5 consecutive docs joined with newlines) so
@@ -1056,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
         "char_stats_documents": char_stats_documents,
         "first_event_per_user_day": first_event_per_user_day,
+        "resample_hourly_events": resample_hourly_events,
         "boilerplate_lines_documents": boilerplate_lines_documents,
         "distribution_drift_orders": distribution_drift_orders,
         "conditional_rule_events": conditional_rule_events,
@@ -1590,6 +1595,18 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
             "  ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT event_id, user_id, ts FROM r WHERE rn = 1 ORDER BY event_id"
+        ),
+        "resample_hourly_events": (
+            "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "  COUNT(*) AS n FROM events WHERE event_type IS NOT NULL "
+            "  GROUP BY 1, 2), "
+            "b AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour "
+            "  FROM (SELECT min(hour) AS mn, max(hour) AS mx FROM c)), "
+            "t AS (SELECT DISTINCT event_type FROM c) "
+            "SELECT t.event_type, b.hour, COALESCE(c.n, 0) AS n_events "
+            "FROM t CROSS JOIN b "
+            "LEFT JOIN c ON c.event_type = t.event_type AND c.hour = b.hour "
+            "ORDER BY t.event_type, b.hour"
         ),
         "boilerplate_lines_documents": (
             "WITH comp AS (SELECT cid, CASE WHEN cid % 2 = 0 "

@@ -482,3 +482,51 @@ def broadcast_anti_join(
         return df[~df[left_on].isin(ks)]
 
     return left.map_batches(fn, batch_format="pandas")
+
+
+def resample_hourly_counts(
+    events: rd.Dataset, type_col: str = "event_type", ts_col: str = "ts"
+) -> pd.DataFrame:
+    """Gap-filled hourly resample: per (event type, hour) event counts
+    over the FULL dense hour grid [min hour, max hour] -> DataFrame
+    (event_type, hour, n_events), zero rows included.
+
+    Monitoring/trend pipelines need the missing buckets (a silent hour is
+    the signal); a plain groupby only emits observed pairs. The
+    distributed part is the same combiner + skinny combine as
+    :func:`events_hourly` (plus a per-batch min/max hour partial); the
+    dense grid is built driver-side from |types| x |hours| — two tiny
+    dimensions — and left-joined against the combined counts.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[type_col]))  # null types stay out of the grid
+        hour = pc.floor_temporal(t[ts_col], unit="hour")
+        g = (
+            pa.table({type_col: t[type_col], "hour": hour})
+            .group_by([type_col, "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([type_col, "hour", "n_events"])
+
+    from .combine import combine_partials
+
+    counts = combine_partials(
+        events.select_columns([type_col, ts_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=[type_col, "hour"],
+        sums=["n_events"],
+    ).to_pandas()
+    counts["hour"] = counts["hour"].astype("datetime64[us]")
+
+    hours = pd.date_range(
+        counts["hour"].min(), counts["hour"].max(), freq="h"
+    ).astype("datetime64[us]")
+    types = np.sort(counts[type_col].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=[type_col, "hour"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, on=[type_col, "hour"], how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return out.sort_values([type_col, "hour"]).reset_index(drop=True)

@@ -384,3 +384,24 @@ def test_remove_boilerplate_under_threshold(rd):
     )
     # 'shared' is in exactly 2 docs = threshold -> kept
     assert got["n_removed"].tolist() == [0, 0]
+
+
+def test_resample_hourly_gap_fill(rd):
+    from rayquality.ops import relational
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 03:20", "2024-01-01 01:05"]
+            ),
+        }
+    )
+    got = relational.resample_hourly_counts(rd.from_pandas(df))
+    # grid: 2 types x 4 hours (00..03), zeros filled
+    assert len(got) == 8
+    a = got[got["event_type"] == "a"]["n_events"].tolist()
+    b = got[got["event_type"] == "b"]["n_events"].tolist()
+    assert a == [1, 0, 0, 1]
+    assert b == [0, 1, 0, 0]
+    assert str(got["hour"].dtype) == "datetime64[us]"
