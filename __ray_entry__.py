@@ -718,6 +718,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
         return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
+    def q3_shipping_priority(sf):
+        from rayquality.ops import multijoin
+
+        cust, orders, li = _tables(sf, "customer", "orders", "lineitem")
+        return multijoin.q3_shipping_priority(cust, orders, li)
+
+    def q5_local_supplier_volume(sf):
+        from rayquality.ops import multijoin
+
+        tabs = _tables(
+            sf, "region", "nation", "supplier", "customer", "orders", "lineitem"
+        )
+        return multijoin.q5_local_supplier_volume(*tabs)
+
+    def q14_promo_share(sf):
+        from rayquality.ops import multijoin
+
+        li, part = _tables(sf, "lineitem", "part")
+        return multijoin.q14_promo_revenue_share(li, part)
+
     def resample_hourly_events(sf):
         (ev,) = _tables(sf, "events")
         return relational.resample_hourly_counts(ev)
@@ -1060,6 +1080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
         "char_stats_documents": char_stats_documents,
         "first_event_per_user_day": first_event_per_user_day,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q14_promo_share": q14_promo_share,
         "resample_hourly_events": resample_hourly_events,
         "boilerplate_lines_documents": boilerplate_lines_documents,
         "distribution_drift_orders": distribution_drift_orders,
@@ -1595,6 +1618,40 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
             "  ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT event_id, user_id, ts FROM r WHERE rn = 1 ORDER BY event_id"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l.l_orderkey, o.o_orderdate, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100 "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-03-15' "
+            "AND l.l_shipdate > TIMESTAMP '1998-03-15' "
+            "GROUP BY 1, 2 ORDER BY revenue_c100 DESC, l.l_orderkey LIMIT 10"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n.n_name, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100 "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA' "
+            "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "q14_promo_share": (
+            "WITH f AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-09-01' "
+            "  AND l_shipdate < TIMESTAMP '1998-10-01'), "
+            "s AS (SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN f.rev "
+            "  ELSE 0 END) AS BIGINT) AS promo_c100, "
+            "  CAST(SUM(f.rev) AS BIGINT) AS total_c100 "
+            "  FROM f LEFT JOIN part p ON f.l_partkey = p.p_partkey) "
+            "SELECT promo_c100, total_c100, "
+            "CAST(ROUND(1000000.0 * promo_c100 / total_c100) AS BIGINT) "
+            "AS share_micro FROM s"
         ),
         "resample_hourly_events": (
             "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "

@@ -79,6 +79,12 @@ def main() -> None:
         10,
         {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     )
+    li_dir = _replicate(
+        f"{SF_DIR}/lineitem.parquet",
+        BIG + "/lineitem10",
+        10,
+        {"l_orderkey": 10_000_000},  # keys track the orders replicas
+    )
 
     def docs() -> rd.Dataset:
         return rd.read_parquet(sorted(glob.glob(docs_dir + "/*.parquet")))
@@ -88,6 +94,9 @@ def main() -> None:
 
     def orders() -> rd.Dataset:
         return rd.read_parquet(sorted(glob.glob(ord_dir + "/*.parquet")))
+
+    def lineitem() -> rd.Dataset:
+        return rd.read_parquet(sorted(glob.glob(li_dir + "/*.parquet")))
 
     n_docs = docs().count()
     n_ev = events().count()
@@ -244,6 +253,17 @@ def main() -> None:
         # worst-case hot-set size and full rewrite volume
         lambda: curation.remove_boilerplate_lines(docs(), max_doc_freq=2),
     )
+    def _q3():
+        from rayquality.ops import multijoin
+
+        # customers are unreplicated, so only replica-0 orders pass the
+        # segment-membership broadcast — the lineitem revenue combiner and
+        # the orderkey hash join still see the full 6M/1.5M-row inputs
+        return multijoin.q3_shipping_priority(
+            rd.read_parquet(f"{SF_DIR}/customer.parquet"), orders(), lineitem()
+        )
+
+    run("q3_shipping_priority", lineitem().count(), _q3)
     run(
         "first_per_key_window",
         n_ev,

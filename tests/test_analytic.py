@@ -405,3 +405,88 @@ def test_resample_hourly_gap_fill(rd):
     assert a == [1, 0, 0, 1]
     assert b == [0, 1, 0, 0]
     assert str(got["hour"].dtype) == "datetime64[us]"
+
+
+def _naive_rev_c100(df):
+    ext = _cents(df["l_extendedprice"])
+    disc = _cents(df["l_discount"])
+    return ext * (100 - disc)
+
+
+def test_q3_shipping_priority(rd):
+    from rayquality.ops import multijoin
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet")
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = multijoin.q3_shipping_priority(cust, orders, li)
+
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cut = pd.Timestamp("1998-03-15")
+    keys = set(c.loc[c["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = o[(o["o_orderdate"] < cut) & o["o_custkey"].isin(keys)]
+    l = l[l["l_shipdate"] > cut].copy()
+    l["rev"] = _naive_rev_c100(l)
+    rev = l.groupby("l_orderkey", as_index=False)["rev"].sum()
+    m = rev.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    want = m.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["revenue_c100"].tolist() == want["rev"].tolist()
+
+
+def test_q5_local_supplier_volume(rd):
+    from rayquality.ops import multijoin
+
+    tabs = [
+        rd.read_parquet(f"{SF}/{t}.parquet")
+        for t in ["region", "nation", "supplier", "customer", "orders", "lineitem"]
+    ]
+    got = multijoin.q5_local_supplier_volume(*tabs)
+
+    r = pd.read_parquet(f"{SF}/region.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rk = r.loc[r["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nat = n[n["n_regionkey"] == rk]
+    o = o[(o["o_orderdate"] >= "1997-01-01") & (o["o_orderdate"] < "1998-01-01")]
+    m = (
+        l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    m = m[m["c_nationkey"] == m["s_nationkey"]]
+    m = m.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    m["rev"] = _naive_rev_c100(m)
+    want = (
+        m.groupby("n_name", as_index=False)["rev"]
+        .sum()
+        .sort_values(["rev", "n_name"], ascending=[False, True])
+    )
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["revenue_c100"].tolist() == want["rev"].tolist()
+
+
+def test_q14_promo_share(rd):
+    from rayquality.ops import multijoin
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    part = rd.read_parquet(f"{SF}/part.parquet")
+    got = multijoin.q14_promo_revenue_share(li, part)
+
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    l = l[(l["l_shipdate"] >= "1998-09-01") & (l["l_shipdate"] < "1998-10-01")].copy()
+    l["rev"] = _naive_rev_c100(l)
+    m = l.merge(p, left_on="l_partkey", right_on="p_partkey", how="left")
+    promo = m.loc[m["p_type"] == "PROMO", "rev"].sum()
+    total = m["rev"].sum()
+    assert got["promo_c100"].iloc[0] == promo
+    assert got["total_c100"].iloc[0] == total
+    assert got["share_micro"].iloc[0] == np.floor(
+        np.abs(1e6 * promo / total) + 0.5
+    ) * np.sign(promo)
