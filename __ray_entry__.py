@@ -718,6 +718,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.ntile_bucketize(orders, "o_totalprice", "o_orderkey", 8)
         return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
+    def skew_join_events_types(sf):
+        """Skew-aware join demo: event_type has ~5 distinct values, so a
+        plain hash join sends 1/5 of the corpus to each of 5 partitions;
+        the planner routes all of them through the broadcast path. The
+        dim table (type -> label) is derived deterministically so the
+        oracle can rebuild it."""
+        import pandas as _pd
+
+        (ev,) = _tables(sf, "events")
+        types = sorted(
+            t for t in ev.unique("event_type") if t is not None
+        )
+        dim = rd.from_pandas(
+            _pd.DataFrame(
+                {"event_type": types, "type_label": [t.upper() for t in types]}
+            )
+        )
+        out = relational.skew_aware_join(
+            ev.select_columns(["event_id", "event_type"]),
+            "event_type",
+            dim,
+            "event_type",
+            ["type_label"],
+        ).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
     def q3_shipping_priority(sf):
         from rayquality.ops import multijoin
 
@@ -1080,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
         "char_stats_documents": char_stats_documents,
         "first_event_per_user_day": first_event_per_user_day,
+        "skew_join_events_types": skew_join_events_types,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_share": q14_promo_share,
@@ -1618,6 +1645,12 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
             "  ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT event_id, user_id, ts FROM r WHERE rn = 1 ORDER BY event_id"
+        ),
+        "skew_join_events_types": (
+            "SELECT e.event_id, e.event_type, d.type_label FROM events e "
+            "JOIN (SELECT DISTINCT event_type, upper(event_type) AS type_label "
+            "  FROM events WHERE event_type IS NOT NULL) d "
+            "ON e.event_type = d.event_type ORDER BY e.event_id"
         ),
         "q3_shipping_priority": (
             "SELECT l.l_orderkey, o.o_orderdate, "

@@ -134,6 +134,14 @@ def run_bench() -> dict:
         "cohort_retention_events",
         "user_sessions",
         "doc_quality_filter_rules",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q14_promo_share",
+        "ntile_orders_price",
+        "bloom_semi_join_lineitem",
+        "activity_islands_events",
+        "boilerplate_lines_documents",
+        "char_stats_documents",
     ):
         t = time.time()
         res = qs[name](sf_dir)

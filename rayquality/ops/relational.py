@@ -530,3 +530,107 @@ def resample_hourly_counts(
     out = grid.merge(counts, on=[type_col, "hour"], how="left")
     out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
     return out.sort_values([type_col, "hour"]).reset_index(drop=True)
+
+
+def skew_aware_join(
+    big: rd.Dataset,
+    big_key: str,
+    small: rd.Dataset,
+    small_key: str,
+    small_cols: list[str],
+    hot_fraction: float = 0.001,
+    sample_batches: int = 8,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Inner join that routes HOT keys around the shuffle -> lazy Dataset
+    (big columns + ``small_cols``).
+
+    A hash-shuffle join collapses when a handful of keys own most of the
+    probe side (every row of a hot key lands on one partition). This op
+    plans per key: it estimates key frequencies from a bounded sample of
+    the big side, marks keys above ``hot_fraction`` of sampled rows as
+    hot, broadcasts ONLY the hot keys' small-side rows (a dict bounded by
+    |hot| — the skew set is small by definition), and maps them in place;
+    the cold remainder goes through the ordinary hash-partitioned
+    ``Dataset.join``. Exact regardless of the sample: a mis-sampled hot
+    key just takes the (correct) shuffle path.
+    """
+    import pandas as pd
+
+    # --- plan: sampled hot-key estimate (bounded: sample_batches blocks) --
+    sample = big.select_columns([big_key]).limit(sample_batches * 4096).to_pandas()
+    if big_key in sample.columns and len(sample):
+        vc = sample[big_key].value_counts()
+        hot_keys = frozenset(vc[vc >= max(2, hot_fraction * len(sample))].index.tolist())
+    else:
+        hot_keys = frozenset()
+
+    sm = small.select_columns([small_key, *small_cols])
+    hot_rows = (
+        sm.filter(lambda r: r[small_key] in hot_keys).to_pandas()
+        if hot_keys
+        else pd.DataFrame()
+    )
+    hot_map = (
+        {
+            k: tuple(v)
+            for k, *v in hot_rows[[small_key, *small_cols]].itertuples(index=False)
+        }
+        if small_key in hot_rows.columns
+        else {}
+    )
+    # hot keys ABSENT from the small side fall through to the cold join
+    # (which drops them) — inner semantics hold without special cases
+    col_dtypes = (
+        {c: hot_rows[c].dtype for c in small_cols}
+        if small_key in hot_rows.columns
+        else {}
+    )
+    hot_ref = ray.put((frozenset(hot_map), hot_map))
+
+    def split_hot(df: pd.DataFrame) -> pd.DataFrame:
+        keys, mapping = ray.get(hot_ref)
+        m = df[big_key].isin(keys).to_numpy()
+        out = df.loc[m].copy()
+        for i, c in enumerate(small_cols):
+            vals = pd.Series([mapping[k][i] for k in out[big_key]], index=out.index)
+            out[c] = vals.astype(col_dtypes[c]) if c in col_dtypes else vals
+        return out
+
+    def split_cold(t: pa.Table) -> pa.Table:
+        # SQL inner-join semantics: NULL keys never match, so drop them
+        # here rather than trusting the join's null handling
+        keys, _ = ray.get(hot_ref)
+        vals = t[big_key].to_numpy(zero_copy_only=False)
+        m = ~pd.Series(vals).isin(keys).to_numpy() & t[big_key].is_valid().to_numpy(
+            zero_copy_only=False
+        )
+        out = t.filter(pa.array(m))
+        if out.num_rows:
+            return out
+        # An all-hot batch filters to EMPTY; a fully-empty cold side
+        # arrives column-less at the shuffle aggregator and Acero dies on
+        # the missing key field. Emit ONE all-null sentinel row instead —
+        # the null key never matches, so the inner join drops it.
+        return pa.Table.from_arrays(
+            [pa.nulls(1, f.type) for f in t.schema], schema=t.schema
+        )
+
+    hot_joined = big.map_batches(split_hot, batch_format="pandas")
+    cold = big.map_batches(split_cold, batch_format="pyarrow")
+    sm_cold = sm.map_batches(
+        lambda t: t.filter(t[small_key].is_valid()), batch_format="pyarrow"
+    )
+    cold_joined = cold.join(
+        sm_cold,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(big_key,),
+        right_on=(small_key,),
+    )
+    if small_key != big_key:
+        cold_joined = cold_joined.drop_columns([small_key])
+    out_cols = [c for c in big.schema().names] + list(small_cols)
+    return hot_joined.select_columns(out_cols).union(
+        cold_joined.select_columns(out_cols)
+    )

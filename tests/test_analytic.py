@@ -490,3 +490,55 @@ def test_q14_promo_share(rd):
     assert got["share_micro"].iloc[0] == np.floor(
         np.abs(1e6 * promo / total) + 0.5
     ) * np.sign(promo)
+
+
+def test_skew_aware_join_hot_and_cold(rd):
+    from rayquality.ops import relational
+
+    # key "hot" owns 90% of the big side -> takes the broadcast path;
+    # the long tail of cold keys goes through the shuffle join; one big
+    # key is absent from the dim side (inner drop) and one has a NULL key
+    big = pd.DataFrame(
+        {
+            "k": ["hot"] * 900 + [f"c{i}" for i in range(90)] + ["missing"] * 9 + [None],
+            "v": np.arange(1000, dtype=np.int64),
+        }
+    )
+    dim = pd.DataFrame(
+        {
+            "k": ["hot"] + [f"c{i}" for i in range(90)],
+            "lab": ["HOT"] + [f"C{i}" for i in range(90)],
+        }
+    )
+    out = (
+        relational.skew_aware_join(
+            rd.from_pandas(big), "k", rd.from_pandas(dim), "k", ["lab"]
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    want = (
+        big.merge(dim, on="k", how="inner").sort_values("v").reset_index(drop=True)
+    )
+    assert len(out) == 990
+    pd.testing.assert_frame_equal(out[["k", "v", "lab"]], want[["k", "v", "lab"]])
+
+
+def test_skew_aware_join_all_hot_empty_cold(rd):
+    from rayquality.ops import relational
+
+    # every key is hot -> the cold side is COMPLETELY empty; the sentinel
+    # row must keep the shuffle join alive and contribute no output rows
+    big = pd.DataFrame({"k": ["a", "b"] * 50, "v": np.arange(100, dtype=np.int64)})
+    dim = pd.DataFrame({"k": ["a", "b"], "lab": ["A", "B"]})
+    out = (
+        relational.skew_aware_join(
+            rd.from_pandas(big), "k", rd.from_pandas(dim), "k", ["lab"], hot_fraction=0.001
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 100
+    assert (out["lab"] == out["k"].str.upper()).all()
