@@ -744,6 +744,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("event_id").reset_index(drop=True)
 
+    def token_budget_select_documents(sf):
+        """Token-budget curation: keep the highest-alpha-ratio documents
+        whose cumulative token count fits 1/3 of the corpus total,
+        tie-broken by doc_id — a histogram cutoff search plus a
+        boundary-group pass instead of a global sort + windowed cumsum."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+
+        def feats(t: pa.Table) -> pa.Table:
+            txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+            a = pc.count_substring_regex(txt, "[a-zA-Z]").to_numpy().astype(np.float64)
+            g = np.maximum(
+                pc.utf8_length(txt).to_numpy(zero_copy_only=False), 1
+            ).astype(np.float64)
+            alpha_micro = np.floor(1e6 * a / g + 0.5).astype(np.int64)
+            n_tok = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "alpha_micro": pa.array(alpha_micro),
+                    "n_tokens": n_tok,
+                }
+            )
+
+        # materialize the SKINNY feature projection (3 int cols) so the
+        # selector's three passes never re-scan the raw text
+        fds = docs.select_columns(["doc_id", "text"]).map_batches(
+            feats, batch_format="pyarrow"
+        ).materialize()
+        out = curation.budget_select(
+            fds, "doc_id", "alpha_micro", "n_tokens", budget_num=1, budget_den=3
+        )
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def q3_shipping_priority(sf):
         from rayquality.ops import multijoin
 
@@ -1107,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_stats_documents": char_stats_documents,
         "first_event_per_user_day": first_event_per_user_day,
         "skew_join_events_types": skew_join_events_types,
+        "token_budget_select_documents": token_budget_select_documents,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_share": q14_promo_share,
@@ -1651,6 +1691,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT DISTINCT event_type, upper(event_type) AS type_label "
             "  FROM events WHERE event_type IS NOT NULL) d "
             "ON e.event_type = d.event_type ORDER BY e.event_id"
+        ),
+        "token_budget_select_documents": (
+            "WITH f AS (SELECT doc_id, "
+            "  CAST(floor(1e6 * len(regexp_extract_all(COALESCE(text,''), '[a-zA-Z]')) "
+            "    / GREATEST(length(COALESCE(text,'')), 1) + 0.5) AS BIGINT) AS alpha_micro, "
+            "  CAST(len(regexp_extract_all(COALESCE(text,''), '\\S+')) AS BIGINT) AS n_tokens "
+            "  FROM documents), "
+            "b AS (SELECT SUM(n_tokens) // 3 AS budget FROM f), "
+            "c AS (SELECT f.*, SUM(n_tokens) OVER (ORDER BY alpha_micro DESC, doc_id ASC "
+            "  ROWS UNBOUNDED PRECEDING) AS cum FROM f) "
+            "SELECT doc_id, alpha_micro, n_tokens FROM c, b "
+            "WHERE cum <= budget ORDER BY doc_id"
         ),
         "q3_shipping_priority": (
             "SELECT l.l_orderkey, o.o_orderdate, "

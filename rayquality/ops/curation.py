@@ -366,3 +366,101 @@ def remove_boilerplate_lines(
     return ds.select_columns([id_col, text_col]).map_batches(
         rewrite, batch_format="pandas"
     )
+
+
+def budget_select(
+    ds: rd.Dataset,
+    id_col: str,
+    score_col: str,
+    cost_col: str,
+    budget: int | None = None,
+    budget_num: int = 1,
+    budget_den: int = 3,
+) -> rd.Dataset:
+    """Select the best-scoring rows whose cumulative cost fits a budget
+    -> lazy Dataset (same columns), WITHOUT a global sort.
+
+    Semantics match the SQL prefix
+    ``SUM(cost) OVER (ORDER BY score DESC, id ASC) <= budget`` (costs are
+    non-negative so the cumulative sum is monotone and the kept set is a
+    prefix). The classic plan — global sort then windowed cumsum — is an
+    all-to-all range shuffle of the corpus. This op replaces it with the
+    token-budget analogue of a quantile cutoff:
+
+    1. ONE combiner pass builds the per-score cost histogram
+       (map-side pandas groupby -> Ray groupby sum). Contract: the score
+       is quantized (e.g. micro ints), so the histogram is bounded by
+       score cardinality, not corpus size.
+    2. The driver walks the tiny histogram in score-desc order to find
+       the boundary score s* and the budget left for it.
+    3. The boundary GROUP ONLY (rows with score == s*) is collected as
+       skinny (id, cost) pairs and tie-broken by id asc — O(one score
+       group), not O(corpus).
+    4. ONE broadcast filter keeps score > s* plus the boundary winners.
+
+    If ``budget`` is None it is derived as ``total_cost * budget_num //
+    budget_den`` (exact integer arithmetic on both engine and oracle).
+    Reference analogue: the sampling cap in
+    ``src/data_quality/core/orchestrator.py`` bounds WORK by rows; this
+    bounds a training corpus by token spend.
+    """
+    import ray
+
+    skinny = ds.select_columns([score_col, cost_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(score_col, as_index=False)[cost_col].sum()
+        return g
+
+    hist = (
+        skinny.map_batches(partial, batch_format="pandas")
+        .groupby(score_col)
+        .sum(cost_col)
+        .to_pandas()
+    )
+    sum_col = f"sum({cost_col})"
+    hist = hist.sort_values(score_col, ascending=False).reset_index(drop=True)
+    costs = [int(c) for c in hist[sum_col]]
+    total = sum(costs)
+    if budget is None:
+        budget = total * budget_num // budget_den
+
+    cum = 0
+    s_star = None
+    remaining = 0
+    for s, c in zip(hist[score_col], costs):
+        if cum + c > budget:
+            s_star = s
+            remaining = budget - cum
+            break
+        cum += c
+    if s_star is None:
+        return ds  # everything fits
+
+    # boundary group: tie-break by id asc within the remaining budget
+    def boundary_batch(t: pa.Table, _s=s_star) -> pa.Table:
+        m = pc.fill_null(pc.equal(t[score_col], _s), False)
+        return t.select([id_col, cost_col]).filter(m)
+
+    bdf = (
+        ds.map_batches(boundary_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    bc = bdf[cost_col].to_numpy().cumsum()
+    kept_ids = set(bdf[id_col].to_numpy()[bc <= remaining].tolist())
+    plan_ref = ray.put((s_star, frozenset(kept_ids)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        s, ids = ray.get(plan_ref)
+        above = pc.fill_null(pc.greater(t[score_col], s), False).to_numpy(
+            zero_copy_only=False
+        )
+        at = pc.fill_null(pc.equal(t[score_col], s), False).to_numpy(
+            zero_copy_only=False
+        )
+        idv = t[id_col].to_numpy(zero_copy_only=False)
+        m = above | (at & pd.Series(idv).isin(ids).to_numpy())
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -542,3 +542,75 @@ def test_skew_aware_join_all_hot_empty_cold(rd):
     )
     assert len(out) == 100
     assert (out["lab"] == out["k"].str.upper()).all()
+
+
+def test_budget_select_prefix_semantics(rd):
+    from rayquality.ops import curation
+
+    # scores with heavy ties so the boundary tie-break matters
+    n = 200
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "score": (np.arange(n, dtype=np.int64) % 5),  # 5 score groups
+            "cost": np.full(n, 7, dtype=np.int64),
+        }
+    )
+    budget = 500  # fits 71 rows of cost 7 (71*7=497)
+    out = (
+        curation.budget_select(rd.from_pandas(df), "id", "score", "cost", budget=budget)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["score", "id"], ascending=[False, True]).copy()
+    want["cum"] = want["cost"].cumsum()
+    want = (
+        want[want["cum"] <= budget]
+        .drop(columns="cum")
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
+    assert len(out) == 71
+
+
+def test_budget_select_all_fit(rd):
+    from rayquality.ops import curation
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(10, dtype=np.int64),
+            "score": np.arange(10, dtype=np.int64),
+            "cost": np.ones(10, dtype=np.int64),
+        }
+    )
+    out = (
+        curation.budget_select(rd.from_pandas(df), "id", "score", "cost", budget=100)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 10
+
+
+def test_budget_select_fractional_budget(rd):
+    from rayquality.ops import curation
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(30, dtype=np.int64),
+            "score": np.repeat(np.arange(3, dtype=np.int64), 10),
+            "cost": np.full(30, 10, dtype=np.int64),
+        }
+    )
+    # total 300, budget 300*1//3 = 100 -> exactly the score-2 group (ids 20..29)
+    out = (
+        curation.budget_select(
+            rd.from_pandas(df), "id", "score", "cost", budget_num=1, budget_den=3
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == list(range(20, 30))
