@@ -783,6 +783,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def blocklist_documents(sf):
+        """Wordlist token filter: flag documents where blocked tokens
+        exceed 5% of all tokens (single RE2 alternation scan)."""
+        from rayquality.ops import text as text_ops
+
+        (docs,) = _tables(sf, "documents")
+        out = text_ops.blocklist_stats(
+            docs, ["spark", "slow", "dup"], threshold_num=1, threshold_den=20
+        )
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def q3_shipping_priority(sf):
         from rayquality.ops import multijoin
 
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user_day": first_event_per_user_day,
         "skew_join_events_types": skew_join_events_types,
         "token_budget_select_documents": token_budget_select_documents,
+        "blocklist_documents": blocklist_documents,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_share": q14_promo_share,
@@ -1691,6 +1703,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT DISTINCT event_type, upper(event_type) AS type_label "
             "  FROM events WHERE event_type IS NOT NULL) d "
             "ON e.event_type = d.event_type ORDER BY e.event_id"
+        ),
+        "blocklist_documents": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(COALESCE(text,'')), '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(lower(COALESCE(text,'')), '\\b(?:spark|slow|dup)\\b')) AS BIGINT) AS n_blocked, "
+            "len(regexp_extract_all(lower(COALESCE(text,'')), '\\b(?:spark|slow|dup)\\b')) * 20 "
+            "  > len(regexp_extract_all(lower(COALESCE(text,'')), '\\S+')) * 1 AS flagged "
+            "FROM documents ORDER BY doc_id"
         ),
         "token_budget_select_documents": (
             "WITH f AS (SELECT doc_id, "

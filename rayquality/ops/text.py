@@ -294,3 +294,57 @@ def char_stats(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow"
     )
+
+
+def blocklist_stats(
+    ds: rd.Dataset,
+    words: list[str],
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Blocklist (profanity / spam wordlist) filter -> lazy (id, n_tokens,
+    n_blocked, flagged).
+
+    The wordlist compiles ONCE into a single word-boundary RE2 alternation
+    (``\\b(?:w1|w2|...)\\b`` over lowercased text), so each batch is one
+    linear DFA scan regardless of list size — same plan as
+    ``curation.decontaminate``. ``flagged`` is the exact integer predicate
+    ``n_blocked * threshold_den > n_tokens * threshold_num`` (blocked
+    fraction strictly above num/den) — no float ratio, so the SQL oracle
+    hashes identically. Null text scans as empty (0/0, unflagged).
+
+    Reference analogue: the pattern-validity rule family
+    (``src/data_quality/validators/patterns.py``) counts regex-violating
+    ROWS; this counts violating TOKENS inside each document, the form a
+    pretraining quality filter needs. For wordlists too large for one
+    alternation, swap the stage to an actor pool holding an Aho-Corasick
+    automaton in ``__init__`` — the plan shape is unchanged.
+    """
+    import re as _re
+
+    pattern = r"\b(?:" + "|".join(_re.escape(w.lower()) for w in words) + r")\b"
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(
+            pc.fill_null(t[text_col].combine_chunks().cast(pa.string()), "")
+        )
+        n_tok = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        n_blk = pc.count_substring_regex(txt, pattern).cast(pa.int64())
+        flagged = pc.greater(
+            pc.multiply(n_blk, pa.scalar(threshold_den, pa.int64())),
+            pc.multiply(n_tok, pa.scalar(threshold_num, pa.int64())),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": n_tok,
+                "n_blocked": n_blk,
+                "flagged": flagged,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )

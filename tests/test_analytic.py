@@ -614,3 +614,29 @@ def test_budget_select_fractional_budget(rd):
         .reset_index(drop=True)
     )
     assert out["id"].tolist() == list(range(20, 30))
+
+
+def test_blocklist_stats(rd):
+    from rayquality.ops import text as text_ops
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "Spam spam ham",          # 2/3 blocked (case-folded)
+                "spamming is not spam",   # \b: 'spamming' does NOT match
+                None,                      # null -> 0/0, unflagged
+                "clean text only",
+            ],
+        }
+    )
+    out = (
+        text_ops.blocklist_stats(rd.from_pandas(df), ["spam"], 1, 4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_blocked"].tolist() == [2, 1, 0, 0]
+    assert out["n_tokens"].tolist() == [3, 4, 0, 3]
+    # flagged iff blocked/tokens > 1/4
+    assert out["flagged"].tolist() == [True, False, False, False]
