@@ -794,6 +794,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def winsorized_revenue_lineitem(sf):
+        """Outlier-robust revenue: clip l_extendedprice cents at the exact
+        corpus p05/p95 (distributed value-counts quantile), sum per
+        returnflag — two streaming passes, no global sort."""
+        from rayquality.ops import cleanse
+
+        (li,) = _tables(sf, "lineitem")
+        return cleanse.winsorized_group_sum(
+            li, "l_returnflag", "l_extendedprice", 0.05, 0.95
+        )
+
     def q3_shipping_priority(sf):
         from rayquality.ops import multijoin
 
@@ -1159,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_events_types": skew_join_events_types,
         "token_budget_select_documents": token_budget_select_documents,
         "blocklist_documents": blocklist_documents,
+        "winsorized_revenue_lineitem": winsorized_revenue_lineitem,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_share": q14_promo_share,
@@ -1703,6 +1715,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT DISTINCT event_type, upper(event_type) AS type_label "
             "  FROM events WHERE event_type IS NOT NULL) d "
             "ON e.event_type = d.event_type ORDER BY e.event_id"
+        ),
+        "winsorized_revenue_lineitem": (
+            "WITH c AS (SELECT l_returnflag, "
+            "  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), "
+            "q AS (SELECT quantile_disc(cents, 0.05) AS lo, "
+            "  quantile_disc(cents, 0.95) AS hi FROM c) "
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "  CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS BIGINT) AS sum_wins_c, "
+            "  CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped "
+            "FROM c, q GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "blocklist_documents": (
             "SELECT doc_id, "

@@ -123,3 +123,68 @@ def minmax_normalize(
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         scale, batch_format="pandas"
     )
+
+
+def winsorized_group_sum(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> "pd.DataFrame":
+    """Outlier-robust grouped totals: clip ``value_col`` (as integer
+    cents) at its EXACT corpus-wide [q_lo, q_hi] discrete quantiles, then
+    sum per group -> small pd.DataFrame (group, n, sum_wins_c, n_clipped).
+
+    Two streaming passes, no sort: pass 1 is the distributed value-counts
+    quantile (``sketch.exact_quantiles`` — combiner + one skinny shuffle;
+    bounded-cardinality contract documented there), pass 2 broadcasts the
+    two clip bounds and folds LEAST(GREATEST(cents, lo), hi) into a
+    per-group partial sum. All arithmetic is int64 cents, so the DuckDB
+    oracle (quantile_disc + LEAST/GREATEST on the same cents) hashes
+    identically.
+
+    Reference analogue: the range-check rule in
+    ``src/data_quality/validators/`` flags out-of-range rows; this is the
+    remediation form (clip instead of flag) a metrics pipeline needs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from . import quant, sketch
+    from .combine import combine_partials
+
+    cents_ds = ds.select_columns([group_col, value_col]).map_batches(
+        lambda t: pa.table(
+            {group_col: t[group_col], "cents": quant.cents_pa(t[value_col])}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # skinny (group, int64) projection, read by both passes
+
+    qdf = sketch.exact_quantiles(cents_ds, "cents", [q_lo, q_hi])
+    lo, hi = int(qdf["value"].iloc[0]), int(qdf["value"].iloc[1])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                group_col: t[group_col].to_pandas(),
+                "n": np.ones(len(c), np.int64),
+                "sum_wins_c": np.clip(c, lo, hi),
+                "n_clipped": ((c < lo) | (c > hi)).astype(np.int64),
+            }
+        )
+        # map-side combiner: the shuffle carries one row per (batch, group)
+        return df.groupby(group_col, as_index=False).sum()
+
+    out = (
+        combine_partials(
+            cents_ds.map_batches(partial, batch_format="pyarrow"),
+            keys=[group_col],
+            sums=["n", "sum_wins_c", "n_clipped"],
+        )
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    return out

@@ -640,3 +640,24 @@ def test_blocklist_stats(rd):
     assert out["n_tokens"].tolist() == [3, 4, 0, 3]
     # flagged iff blocked/tokens > 1/4
     assert out["flagged"].tolist() == [True, False, False, False]
+
+
+def test_winsorized_group_sum(rd):
+    from rayquality.ops import cleanse
+
+    # values 1..100 in dollars -> cents 100..10000; p05=500, p95=9500
+    # (quantile_disc: idx = ceil(q*n)-1 into the sorted multiset)
+    df = pd.DataFrame(
+        {
+            "g": ["a", "b"] * 50,
+            "v": (np.arange(1, 101, dtype=np.float64)),
+        }
+    )
+    out = cleanse.winsorized_group_sum(rd.from_pandas(df), "g", "v", 0.05, 0.95)
+    assert out["g"].tolist() == ["a", "b"]
+    cents = np.arange(1, 101) * 100
+    lo, hi = cents[int(np.ceil(0.05 * 100)) - 1], cents[int(np.ceil(0.95 * 100)) - 1]
+    w = np.clip(cents, lo, hi)
+    assert out["sum_wins_c"].tolist() == [int(w[0::2].sum()), int(w[1::2].sum())]
+    assert out["n_clipped"].sum() == int(((cents < lo) | (cents > hi)).sum())
+    assert out["n"].tolist() == [50, 50]
