@@ -805,6 +805,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             li, "l_returnflag", "l_extendedprice", 0.05, 0.95
         )
 
+    def top_ngrams_documents(sf):
+        """Corpus-wide top-20 bigrams: per-batch np.unique compression,
+        skinny hash-partition combine, distributed pre-top-k."""
+        from rayquality.ops import text as text_ops
+
+        (docs,) = _tables(sf, "documents")
+        return text_ops.top_ngrams(docs, n=2, top_k=20)
+
     def q3_shipping_priority(sf):
         from rayquality.ops import multijoin
 
@@ -1171,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select_documents": token_budget_select_documents,
         "blocklist_documents": blocklist_documents,
         "winsorized_revenue_lineitem": winsorized_revenue_lineitem,
+        "top_ngrams_documents": top_ngrams_documents,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_share": q14_promo_share,
@@ -1715,6 +1724,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT DISTINCT event_type, upper(event_type) AS type_label "
             "  FROM events WHERE event_type IS NOT NULL) d "
             "ON e.event_type = d.event_type ORDER BY e.event_id"
+        ),
+        "top_ngrams_documents": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS w "
+            "  FROM documents), "
+            "bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+            "  [array_to_string(list_slice(w, i+1, i+2), ' ') FOR i IN range(len(w) - 1)] "
+            "  ELSE []::VARCHAR[] END) AS ngram FROM toks) "
+            "SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg "
+            "GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20"
         ),
         "winsorized_revenue_lineitem": (
             "WITH c AS (SELECT l_returnflag, "

@@ -348,3 +348,63 @@ def blocklist_stats(
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow"
     )
+
+
+def top_ngrams(
+    ds: rd.Dataset,
+    n: int = 2,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Corpus-wide top-k word n-grams (vocabulary induction) -> small
+    pd.DataFrame (ngram, cnt), ties broken ngram-asc.
+
+    Each batch tokenizes once (lowercase, ``\\S+``), forms n-grams with a
+    stride trick, and COMPRESSES to its local (ngram, count) table via
+    ``np.unique`` — the shuffle carries one row per distinct n-gram per
+    batch, never per token. A skinny hash-partition combine sums the
+    partials; only the global top-k reaches the driver.
+
+    Scale contract: the combine is O(distinct n-grams). Natural-language
+    bigram vocabularies are Zipfian (~10^7-10^8 distinct at web scale) and
+    hash-partition across the cluster; for unbounded n or when even the
+    distinct table is too wide, swap the final top-k for
+    ``sketch.heavy_hitters`` (Misra-Gries) — same partial shape.
+    """
+    import re as _re
+
+    tok_re = _re.compile(r"\S+")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        grams: list[str] = []
+        for s in t[text_col].combine_chunks().fill_null("").to_pylist():
+            w = tok_re.findall(s.lower())
+            grams.extend(
+                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+            )
+        if not grams:
+            return pd.DataFrame({"ngram": pd.Series([], dtype=str), "cnt": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pd.DataFrame({"ngram": u, "cnt": c.astype(np.int64)})
+
+    from .combine import combine_partials
+
+    counts = combine_partials(
+        ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow"),
+        keys=["ngram"],
+        sums=["cnt"],
+    )
+
+    # distributed pre-top-k: each combine partition yields its own top_k,
+    # so the driver merges at most (partitions x top_k) rows
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(top_k)
+
+    merged = (
+        counts.map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["cnt", "ngram"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    return merged

@@ -661,3 +661,21 @@ def test_winsorized_group_sum(rd):
     assert out["sum_wins_c"].tolist() == [int(w[0::2].sum()), int(w[1::2].sum())]
     assert out["n_clipped"].sum() == int(((cents < lo) | (cents > hi)).sum())
     assert out["n"].tolist() == [50, 50]
+
+
+def test_top_ngrams(rd):
+    from rayquality.ops import text as text_ops
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "a b a b a b",   # "a b" x3, "b a" x2
+                "a b c",         # "a b", "b c"
+                None,
+                "x",             # too short for bigrams
+            ]
+        }
+    )
+    out = text_ops.top_ngrams(rd.from_pandas(df), n=2, top_k=2)
+    assert out["ngram"].tolist() == ["a b", "b a"]
+    assert out["cnt"].tolist() == [4, 2]
