@@ -1091,6 +1091,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def fd_orders_priority(sf):
+        from rayquality.ops import profile
+
+        (od,) = _tables(sf, "orders")
+        return profile.fd_violations(od, "o_custkey", "o_orderpriority")
+
+    def entropy_events_hour(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import profile
+
+        (ev,) = _tables(sf, "events")
+
+        def add_hour(t: "pa.Table") -> "pa.Table":
+            return t.append_column("hour", pc.cast(pc.hour(t["ts"]), pa.int64()))
+
+        ds = ev.select_columns(["event_type", "ts"]).map_batches(
+            add_hour, batch_format="pyarrow"
+        )
+        return profile.grouped_entropy(ds, "event_type", "hour")
+
+    def topk_orders_per_priority(sf):
+        from rayquality.ops import analytic
+
+        (od,) = _tables(sf, "orders")
+        out = analytic.grouped_topk(
+            od, "o_orderpriority", "o_totalprice", "o_orderkey", k=5
+        ).to_pandas()
+        return out.sort_values(["o_orderpriority", "rk"]).reset_index(drop=True)
+
+    def quantile_filter_documents(sf):
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        kept, _thr = curation.quantile_filter(
+            docs.select_columns(["doc_id", "n_chars"]), "n_chars", 0.75
+        )
+        return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def temperature_mixture_documents(sf):
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        out = curation.temperature_mixture(
+            docs.select_columns(["doc_id", "source"]), "source", "doc_id"
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def shared_substring_pairs_documents(sf):
+        from rayquality.ops import substr
+
+        (docs,) = _tables(sf, "documents")
+        out = substr.shared_substring_pairs(
+            docs, k=24, sample_mod=4, min_shared=2
+        ).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def kcenter_embeddings(sf):
+        from rayquality.ops import cluster
+
+        (emb,) = _tables(sf, "embeddings")
+        return cluster.kcenter_select(emb, k=8)
+
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST 50
     # entries only (CORRECTNESS_r02 capped there), so every query with an
     # oracle_sql() entry (50 of them) comes first and every rows-only /
@@ -1188,6 +1252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribution_drift_orders": distribution_drift_orders,
         "conditional_rule_events": conditional_rule_events,
         "temporal_consistency_lineitem": temporal_consistency_lineitem,
+        "fd_orders_priority": fd_orders_priority,
+        "entropy_events_hour": entropy_events_hour,
+        "topk_orders_per_priority": topk_orders_per_priority,
+        "quantile_filter_documents": quantile_filter_documents,
+        "temperature_mixture_documents": temperature_mixture_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1204,6 +1273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_images_sample": augment_images_sample,
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,
+        "shared_substring_pairs_documents": shared_substring_pairs_documents,
+        "kcenter_embeddings": kcenter_embeddings,
     }
 
 
@@ -1860,6 +1931,57 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_orphans "
             "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "fd_orders_priority": (
+            "WITH pairs AS (SELECT o_custkey AS a, o_orderpriority AS b, "
+            "  COUNT(*) AS cnt FROM orders GROUP BY 1, 2), "
+            "per_a AS (SELECT a, COUNT(*) AS n_b, SUM(cnt) AS rws "
+            "  FROM pairs GROUP BY a) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_det_values, "
+            "CAST(COALESCE(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            "  AS n_violating_keys, "
+            "CAST(COALESCE(SUM(CASE WHEN n_b > 1 THEN rws ELSE 0 END), 0) AS BIGINT) "
+            "  AS n_violating_rows "
+            "FROM per_a"
+        ),
+        "entropy_events_hour": (
+            "WITH c AS (SELECT event_type, "
+            "  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h, COUNT(*) AS cnt "
+            "  FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, SUM(cnt) AS tot FROM c GROUP BY 1) "
+            "SELECT c.event_type, "
+            "CAST(FLOOR(-SUM((CAST(cnt AS DOUBLE) / tot) * "
+            "  LN(CAST(cnt AS DOUBLE) / tot)) * 1e6 + 0.5) AS BIGINT) "
+            "  AS entropy_micro_nats, "
+            "CAST(MAX(tot) AS BIGINT) AS n_rows "
+            "FROM c JOIN t USING (event_type) "
+            "GROUP BY c.event_type ORDER BY c.event_type"
+        ),
+        "topk_orders_per_priority": (
+            "WITH r AS (SELECT o_orderpriority, o_orderkey, "
+            "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS value_cents, "
+            "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "    ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, "
+            "    o_orderkey) AS rk "
+            "  FROM orders) "
+            "SELECT o_orderpriority, o_orderkey, value_cents, "
+            "CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 "
+            "ORDER BY o_orderpriority, rk"
+        ),
+        "quantile_filter_documents": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents) "
+            "ORDER BY doc_id"
+        ),
+        "temperature_mixture_documents": (
+            "WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents "
+            "  GROUP BY source), "
+            "m AS (SELECT MIN(cnt) AS mn FROM c), "
+            "t AS (SELECT source, FLOOR(SQRT(CAST(mn AS DOUBLE) / "
+            "  CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS thr FROM c, m) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) "
+            "WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < t.thr "
+            "ORDER BY doc_id"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine

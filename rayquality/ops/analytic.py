@@ -407,3 +407,59 @@ def ntile_bucketize(
     return ds.select_columns([value_col, key_col]).map_batches(
         assign, batch_format="pandas"
     )
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> rd.Dataset:
+    """Top-``k`` records per group by (value desc, id asc) -> lazy Dataset
+    (group, id, value_cents, rk) matching
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY value DESC, id) <= k``.
+
+    The per-group generalization of the reference's top-issues ordering
+    (reference: src/data_quality/reports/generator.py top-N sections).
+    Per-batch per-group top-k is the combiner — at most k rows per group
+    survive each block, so the shuffle carries O(k x groups) rows, never
+    the table — then one hash-partition pass finishes the exact top-k and
+    assigns ranks. Values quantize to integer cents (shared half-up rule)
+    so the oracle gate compares exactly.
+    """
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                group_col: df[group_col].to_numpy(),
+                id_col: df[id_col].to_numpy(np.int64),
+                "value_cents": quant.quantize_i64(
+                    df[value_col].to_numpy(np.float64), 100.0
+                ),
+            }
+        )
+        df = df.sort_values(
+            ["value_cents", id_col], ascending=[False, True]
+        )
+        return df.groupby(group_col, sort=False).head(k)
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_cents", id_col], ascending=[False, True])
+        g = g.groupby(group_col, sort=False).head(k).copy()
+        g["rk"] = g.groupby(group_col, sort=False).cumcount().to_numpy(np.int64) + 1
+        return g[[group_col, id_col, "value_cents", "rk"]]
+
+    return (
+        ds.select_columns([group_col, value_col, id_col])
+        .map_batches(block_topk, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(finish, batch_format="pandas")
+    )

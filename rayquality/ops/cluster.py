@@ -222,3 +222,85 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pandas")
     )
+
+
+def kcenter_select(
+    ds: rd.Dataset,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) diversity selection over an
+    embedding column -> DataFrame (rank, id, radius_sq): the classic
+    2-approximate coreset picker (Gonzalez 1985; the diversity-sampling
+    step of active-learning / data-pruning pipelines such as coreset
+    selection).
+
+    Distributed shape: the skinny (id, vec, mind) state lives in the
+    object store; each round ONE vectorized pass updates every row's
+    distance-to-nearest-center against only the NEWEST center (broadcast
+    via ``ray.put``) and a second skinny pass reduces the per-block
+    argmax — O(k) rounds, O(N·d) work per round, O(k·d) driver state.
+    ``radius_sq`` of the i-th pick is the squared coverage radius after
+    i-1 centers: monotonically non-increasing, and the standard stopping
+    diagnostic. Deterministic: the first pick is the minimum id; ties on
+    distance break by id.
+    """
+    INF = np.float64(np.inf)
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column("mind", pa.array(np.full(len(t), INF)))
+
+    state = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(init, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def block_argmax(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "mind": pa.array([], pa.float64()),
+                 "vec": pa.array([], pa.list_(pa.float64()))}
+            )
+        mind = t["mind"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        # max dist, ties -> min id (lexsort on (-mind, id) via stable order)
+        order = np.lexsort((ids, -mind))
+        i = order[0]
+        vec = _mat(t[vec_col])[i]
+        return pa.table(
+            {
+                id_col: pa.array([ids[i]]),
+                "mind": pa.array([mind[i]]),
+                "vec": pa.array([vec.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    def make_update(cref):
+        def update(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _mat(t[vec_col])
+            d = ((m - c[None, :]) ** 2).sum(axis=1)
+            mind = np.minimum(t["mind"].to_numpy(zero_copy_only=False), d)
+            return t.set_column(
+                t.schema.get_field_index("mind"), "mind", pa.array(mind)
+            )
+
+        return update
+
+    picks: list[tuple[int, int, float]] = []
+    for rank in range(k):
+        tops = state.map_batches(block_argmax, batch_format="pyarrow").to_pandas()
+        if not len(tops):
+            break
+        tops = tops.sort_values(
+            ["mind", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        row = tops.iloc[0]
+        picks.append((rank + 1, int(row[id_col]), float(row["mind"])))
+        cref = ray.put(np.asarray(row["vec"], dtype=np.float64))
+        state = state.map_batches(
+            make_update(cref), batch_format="pyarrow"
+        ).materialize()
+    return pd.DataFrame(picks, columns=["rank", "id", "radius_sq"])

@@ -464,3 +464,80 @@ def budget_select(
         return t.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quantile_filter(
+    ds: rd.Dataset, column: str, q: float = 0.75
+) -> tuple[rd.Dataset, int]:
+    """Keep rows with ``column >= quantile_disc(q)`` of the corpus — the
+    two-pass dynamic-threshold filter of a quality pipeline ("drop the
+    bottom quartile by length/score") -> (lazy filtered Dataset,
+    threshold).
+
+    Pass 1 computes the EXACT discrete quantile through the value-counts
+    combiner (``sketch.exact_quantiles``: bounded-cardinality contract —
+    measure-like integer columns); pass 2 is one embarrassingly parallel
+    filter with the scalar threshold shipped in the task closure. No
+    global sort, no materialization of the big path.
+    """
+    from . import sketch
+
+    qt = sketch.exact_quantiles(ds, column, [q])
+    thr = int(qt["value"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[column], thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow"), thr
+
+
+def temperature_mixture(
+    ds: rd.Dataset,
+    strat_col: str,
+    key_col: str,
+    scale: int = 10000,
+) -> rd.Dataset:
+    """Temperature-balanced source mixture (alpha = 0.5): downsample each
+    stratum with keep-rate ``sqrt(min_count / count_s)`` so post-sample
+    sizes follow count^0.5 — the multilingual/source rebalancing rule of
+    large training corpora (e.g. the alpha-scaled sampling of
+    multilingual model data) -> lazy Dataset.
+
+    Pass 1: per-stratum counts (combiner + skinny combine; strata are
+    few). The driver derives integer thresholds
+    ``floor(sqrt(min/cnt) * scale + 0.5)`` — sqrt is correctly rounded in
+    IEEE-754, so DuckDB and numpy produce the identical double and the
+    identical threshold. Pass 2: deterministic keyed-hash acceptance
+    (same Knuth-hash rule as ``windows.weighted_mixture``): reproducible,
+    shuffle-free, SQL-checkable.
+    """
+    from .windows import _H32, _KNUTH
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(strat_col, as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from . import combine as _combine
+
+    counts = _combine.combine_partials(
+        ds.select_columns([strat_col]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        keys=[strat_col],
+        sums=["cnt"],
+    ).to_pandas()
+    mn = float(counts["cnt"].min())
+    thr = {
+        s: np.floor(np.sqrt(mn / float(c)) * scale + 0.5)
+        for s, c in zip(counts[strat_col], counts["cnt"])
+    }
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy(np.int64).astype(np.uint64)
+        h = ((k * _KNUTH) % _H32 % np.uint64(scale)).astype(np.float64)
+        t = df[strat_col].map(thr).to_numpy(np.float64)
+        return df[h < t]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -202,3 +202,132 @@ def distribution_drift(
     out["n_old"] = out["n_old"].astype(np.int64)
     out["n_new"] = out["n_new"].astype(np.int64)
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def fd_violations(
+    ds: rd.Dataset, det_col: str, dep_col: str
+) -> pd.DataFrame:
+    """Functional-dependency profile: does ``det_col`` determine
+    ``dep_col``? -> one row (n_det_values, n_violating_keys,
+    n_violating_rows).
+
+    Classic FD discovery primitive (profiling literature, e.g. TANE /
+    Metanome) extending the reference's duplicate/uniqueness suite
+    (reference: src/data_quality/validators/duplicates.py): a key that
+    maps to >1 distinct dependent value violates the dependency; the row
+    count of those keys bounds the repair cost.
+
+    Plan: per-batch distinct (det, dep) with partial row counts
+    (combiner) -> one skinny combine keyed on the PAIR -> hash-partition
+    by det -> per-partition count distinct deps per det. The shuffle
+    carries one row per distinct pair, never data rows; no driver
+    structure beyond the 1-row result.
+    """
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([det_col, dep_col], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    pairs = _combine.combine_partials(
+        ds.select_columns([det_col, dep_col]).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        keys=[det_col, dep_col],
+        sums=["cnt"],
+    )
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[det_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        per_det = g.groupby(det_col, dropna=False).agg(
+            n_dep=(dep_col, "nunique"), rows=("cnt", "sum")
+        )
+        viol = per_det["n_dep"] > 1
+        return pd.DataFrame(
+            {
+                "n_det_values": [np.int64(len(per_det))],
+                "n_violating_keys": [np.int64(int(viol.sum()))],
+                "n_violating_rows": [np.int64(int(per_det.loc[viol, "rows"].sum()))],
+            }
+        )
+
+    parts = (
+        pairs.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_det_values": [np.int64(parts["n_det_values"].sum())],
+            "n_violating_keys": [np.int64(parts["n_violating_keys"].sum())],
+            "n_violating_rows": [np.int64(parts["n_violating_rows"].sum())],
+        }
+    )
+
+
+def grouped_entropy(
+    ds: rd.Dataset, group_col: str, value_col: str
+) -> pd.DataFrame:
+    """Shannon entropy (micro-nats, int64) of the ``value_col``
+    distribution within each ``group_col`` value -> DataFrame
+    (group, entropy_micro_nats, n_rows).
+
+    A uniformity/diversity profile signal (near-zero entropy = a column
+    that is constant within the group; high entropy = well-mixed).
+    Counts flow through the usual combiner + skinny combine; the entropy
+    fold runs on the (group, value, cnt) table, one row per distinct
+    pair. Output quantizes -sum(p*ln p) to integer micro-nats with
+    half-up rounding — the same fixed-point contract as the money
+    aggregates, so the dtype-strict oracle gate can compare exactly.
+    """
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, value_col], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    pairs = _combine.combine_partials(
+        ds.select_columns([group_col, value_col]).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        keys=[group_col, value_col],
+        sums=["cnt"],
+    )
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(group_col, dropna=False)["cnt"]
+            .transform("sum")
+            .to_numpy(np.float64)
+        )
+        p = g["cnt"].to_numpy(np.float64) / tot
+        agg = g.assign(term=-(p * np.log(p))).groupby(
+            group_col, as_index=False, dropna=False
+        ).agg(ent=("term", "sum"), n_rows=("cnt", "sum"))
+        agg["entropy_micro_nats"] = np.floor(agg["ent"] * 1e6 + 0.5).astype(
+            np.int64
+        )
+        agg["n_rows"] = agg["n_rows"].astype(np.int64)
+        return agg[[group_col, "entropy_micro_nats", "n_rows"]]
+
+    res = (
+        pairs.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values(group_col).reset_index(drop=True)
