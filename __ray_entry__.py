@@ -1155,6 +1155,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return cluster.kcenter_select(emb, k=8)
 
+    def mad_outliers_lineitem(sf):
+        from rayquality.ops import profile
+
+        (li,) = _tables(sf, "lineitem")
+        return profile.mad_outliers(li, "l_extendedprice")
+
+    def chi2_events_type_hour(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import profile
+
+        (ev,) = _tables(sf, "events")
+
+        def add_hour(t: "pa.Table") -> "pa.Table":
+            return t.append_column("hour", pc.cast(pc.hour(t["ts"]), pa.int64()))
+
+        ds = ev.select_columns(["event_type", "ts"]).map_batches(
+            add_hour, batch_format="pyarrow"
+        )
+        return profile.chi2_independence(ds, "event_type", "hour")
+
+    def basket_pairs_events(sf):
+        from rayquality.ops import analytic
+
+        (ev,) = _tables(sf, "events")
+        return analytic.basket_pairs(ev, "user_id", "event_type")
+
+    def hash_sample_orders_status(sf):
+        from rayquality.ops import windows
+
+        (od,) = _tables(sf, "orders")
+        out = windows.grouped_hash_sample(
+            od, "o_orderstatus", "o_orderkey", k=10
+        ).to_pandas()
+        return out.sort_values(["o_orderstatus", "rk"]).reset_index(drop=True)
+
+    def slope_value_by_hour_events(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rayquality.ops import analytic
+
+        (ev,) = _tables(sf, "events")
+
+        def add_hour(t: "pa.Table") -> "pa.Table":
+            return t.append_column("hour", pc.cast(pc.hour(t["ts"]), pa.int64()))
+
+        ds = ev.select_columns(["event_type", "ts", "value"]).map_batches(
+            add_hour, batch_format="pyarrow"
+        )
+        return analytic.grouped_slope(ds, "event_type", "hour", "value")
+
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST 50
     # entries only (CORRECTNESS_r02 capped there), so every query with an
     # oracle_sql() entry (50 of them) comes first and every rows-only /
@@ -1257,6 +1310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_priority": topk_orders_per_priority,
         "quantile_filter_documents": quantile_filter_documents,
         "temperature_mixture_documents": temperature_mixture_documents,
+        "mad_outliers_lineitem": mad_outliers_lineitem,
+        "chi2_events_type_hour": chi2_events_type_hour,
+        "basket_pairs_events": basket_pairs_events,
+        "hash_sample_orders_status": hash_sample_orders_status,
+        "slope_value_by_hour_events": slope_value_by_hour_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1982,6 +2040,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) "
             "WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < t.thr "
             "ORDER BY doc_id"
+        ),
+        "mad_outliers_lineitem": (
+            "WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v "
+            "  FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+            "med AS (SELECT quantile_disc(v, 0.5) AS m FROM c), "
+            "mad AS (SELECT quantile_disc(ABS(v - m), 0.5) AS md FROM c, med) "
+            "SELECT CAST(MAX(m) AS BIGINT) AS median_cents, "
+            "CAST(MAX(md) AS BIGINT) AS mad_cents, "
+            "CAST(SUM(CASE WHEN ABS(v - m) > 3 * md THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS n_outliers, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM c, med, mad"
+        ),
+        "chi2_events_type_hour": (
+            "WITH c AS (SELECT event_type AS a, "
+            "  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS b, COUNT(*) AS cnt "
+            "  FROM events GROUP BY 1, 2), "
+            "ra AS (SELECT a, SUM(cnt) AS na FROM c GROUP BY a), "
+            "rb AS (SELECT b, SUM(cnt) AS nb FROM c GROUP BY b), "
+            "tot AS (SELECT SUM(cnt) AS n FROM c), "
+            "grid AS (SELECT CAST(ra.na AS DOUBLE) AS na, "
+            "  CAST(rb.nb AS DOUBLE) AS nb, "
+            "  CAST(COALESCE(cc.cnt, 0) AS DOUBLE) AS cnt "
+            "  FROM ra CROSS JOIN rb "
+            "  LEFT JOIN c cc ON cc.a = ra.a AND cc.b = rb.b) "
+            "SELECT CAST(FLOOR(SUM(POWER(cnt - na * nb / n, 2) / (na * nb / n)) "
+            "  * 1e6 + 0.5) AS BIGINT) AS chi2_micro, "
+            "CAST(((SELECT COUNT(*) FROM ra) - 1) * "
+            "  ((SELECT COUNT(*) FROM rb) - 1) AS BIGINT) AS dof, "
+            "CAST(MAX(n) AS BIGINT) AS n_rows "
+            "FROM grid, tot"
+        ),
+        "basket_pairs_events": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS item_a, b.event_type AS item_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_baskets "
+            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "  AND a.event_type < b.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "hash_sample_orders_status": (
+            "WITH r AS (SELECT o_orderstatus, o_orderkey, "
+            "  ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+            "    ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) AS rk "
+            "  FROM orders) "
+            "SELECT o_orderstatus, o_orderkey, CAST(rk AS BIGINT) AS rk "
+            "FROM r WHERE rk <= 10 ORDER BY o_orderstatus, rk"
+        ),
+        "slope_value_by_hour_events": (
+            "WITH b AS (SELECT event_type, "
+            "  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x, "
+            "  CAST(ROUND(value * 100) AS BIGINT) AS y "
+            "  FROM events WHERE value IS NOT NULL), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, "
+            "  SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx "
+            "  FROM b GROUP BY event_type) "
+            "SELECT event_type, "
+            "CAST(FLOOR(1e6 * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) + 0.5) "
+            "  AS BIGINT) AS slope_micro, "
+            "CAST(n AS BIGINT) AS n "
+            "FROM s WHERE (n * sxx - sx * sx) <> 0 ORDER BY event_type"
         ),
         "repetition_ratio_documents": (
             # regexp_extract_all (never string_split_regex+trim): the engine

@@ -253,8 +253,12 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             # larger corpus + no kept materialization: the scaling criterion
-            # measures the same compute-dominated job at both levels
-            RAYQUALITY_BENCH_IMAGES=os.environ.get("RAYQUALITY_BENCH_IMAGES", "600000"),
+            # measures the same compute-dominated job at both levels. 2.4M
+            # keeps the 16-core phase (~45-50 s) far above the ~8 s
+            # session-fixed cost (ray.init + actor-pool spin-up + model
+            # load); at 600k that fixed cost alone drags measured
+            # efficiency to ~0.68 on this host (see BASELINE.md).
+            RAYQUALITY_BENCH_IMAGES=os.environ.get("RAYQUALITY_BENCH_IMAGES", "2400000"),
             RAYQUALITY_BENCH_WRITE_KEPT="0",
             RAYQUALITY_BENCH_SKIP_QUERIES="1",
             RAYQUALITY_BENCH_WARMUP="0",  # same protocol at both levels

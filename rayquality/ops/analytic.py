@@ -463,3 +463,128 @@ def grouped_topk(
         .groupby("pkey")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def basket_pairs(
+    ds: rd.Dataset,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_baskets: int = 1,
+) -> pd.DataFrame:
+    """Item co-occurrence counts: for every unordered pair of distinct
+    ``item_col`` values, the number of ``basket_col`` values containing
+    both -> DataFrame (item_a, item_b, n_baskets), item_a < item_b.
+
+    The market-basket / co-engagement profile over an event log. Plan:
+    per-batch distinct (basket, item) combiner -> hash-partition by
+    basket (every basket's items land together) -> per-partition
+    vectorized pair expansion through the shared offset-sweep kernel
+    (items factorized to codes; per-basket item sets are small) ->
+    per-partition pair-count partials -> one skinny combine. The shuffle
+    carries distinct (basket, item) rows and then (pair, cnt) partials —
+    never event rows.
+    """
+    from .. import dedup
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[basket_col, item_col]].drop_duplicates()
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[basket_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-local distinct: the same (basket, item) row may arrive
+        # from several blocks' partials
+        g = g[[basket_col, item_col]].drop_duplicates()
+        codes, uniq = pd.factorize(g[item_col].to_numpy())
+        baskets = g[basket_col].to_numpy(np.int64)
+        ii, jj = dedup.keyed_pair_indices(baskets, codes.astype(np.int64), 64)
+        if not len(ii):
+            return pd.DataFrame(
+                {"item_a": [], "item_b": [], "n_baskets": np.empty(0, np.int64)}
+            )
+        a = uniq[codes[ii]]
+        b = uniq[codes[jj]]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        out = (
+            pd.DataFrame({"item_a": a, "item_b": b})
+            .groupby(["item_a", "item_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_baskets"})
+        )
+        out["n_baskets"] = out["n_baskets"].astype(np.int64)
+        return out
+
+    parts = (
+        ds.select_columns([basket_col, item_col])
+        .map_batches(distinct_partial, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
+    out = _combine.combine_partials(
+        parts, keys=["item_a", "item_b"], sums=["n_baskets"]
+    ).to_pandas()
+    out = out[out["n_baskets"] >= min_baskets]
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def grouped_slope(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    y_unit: float = 100.0,
+) -> pd.DataFrame:
+    """Per-group OLS regression slope (y-units per x, micro-quantized) ->
+    DataFrame (group, slope_micro, n) for groups with x-variance > 0.
+
+    The trend profile ("is `value` drifting with hour-of-day per event
+    type?"). ``x`` must be integer-valued and small (hour, day index);
+    ``y`` quantizes to integer units — then every sufficient statistic
+    (n, Sx, Sy, Sxy, Sxx) is an INTEGER sum, combined exactly through the
+    shared combiner, and the driver computes
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)`` with arbitrary-
+    precision integer numerators (no int64 overflow at corpus scale)
+    before one float division — bit-identical to the oracle's HUGEINT
+    arithmetic. No float accumulates anywhere.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[x_col, y_col])
+        x = df[x_col].to_numpy(np.int64)
+        y = quant.quantize_i64(df[y_col].to_numpy(np.float64), y_unit)
+        g = pd.DataFrame(
+            {
+                group_col: df[group_col].to_numpy(),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby(group_col, as_index=False).sum()
+
+    sums = _combine.combine_partials(
+        ds.select_columns([group_col, x_col, y_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=[group_col],
+        sums=["n", "sx", "sy", "sxy", "sxx"],
+    ).to_pandas()
+    out = []
+    for _, r in sums.iterrows():
+        n, sx, sy, sxy, sxx = (int(r[c]) for c in ["n", "sx", "sy", "sxy", "sxx"])
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        num = n * sxy - sx * sy
+        slope = float(num) / float(den)
+        out.append((r[group_col], np.int64(np.floor(slope * 1e6 + 0.5)), np.int64(n)))
+    res = pd.DataFrame(out, columns=[group_col, "slope_micro", "n"])
+    return res.sort_values(group_col).reset_index(drop=True)

@@ -331,3 +331,100 @@ def grouped_entropy(
         .to_pandas()
     )
     return res.sort_values(group_col).reset_index(drop=True)
+
+
+def mad_outliers(
+    ds: rd.Dataset, column: str, unit: float = 100.0, k_mad: int = 3
+) -> pd.DataFrame:
+    """Robust (Hampel) outlier count via the median absolute deviation ->
+    one row (median_cents, mad_cents, n_outliers, n_rows).
+
+    The MAD-based fence is the robust sibling of ``iqr_outlier_counts``
+    (same reference lineage: completeness/outlier profiling): a value is
+    an outlier iff ``|v - median| > k_mad * MAD``. Three streaming
+    passes, each a value-counts combiner + skinny combine (the exact-
+    quantile machinery); values quantize to integer units first so every
+    comparison is integer-exact on both engine and oracle. Same
+    bounded-cardinality contract as ``sketch.exact_quantiles``.
+    """
+    from . import sketch
+
+    def to_units(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[column].dropna().to_numpy(np.float64)
+        return pd.DataFrame({"v": quant.quantize_i64(v, unit)})
+
+    units = ds.select_columns([column]).map_batches(to_units, batch_format="pandas")
+    med = int(sketch.exact_quantiles(units, "v", [0.5])["value"].iloc[0])
+
+    def to_dev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": np.abs(df["v"].to_numpy(np.int64) - med)})
+
+    devs = units.map_batches(to_dev, batch_format="pandas")
+    mad = int(sketch.exact_quantiles(devs, "d", [0.5])["value"].iloc[0])
+    fence = k_mad * mad
+
+    def count_out(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.abs(df["v"].to_numpy(np.int64) - med)
+        return pd.DataFrame(
+            {
+                "n_outliers": [np.int64((d > fence).sum())],
+                "n_rows": [np.int64(len(d))],
+            }
+        )
+
+    parts = units.map_batches(count_out, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "median_cents": [np.int64(med)],
+            "mad_cents": [np.int64(mad)],
+            "n_outliers": [np.int64(parts["n_outliers"].sum())],
+            "n_rows": [np.int64(parts["n_rows"].sum())],
+        }
+    )
+
+
+def chi2_independence(
+    ds: rd.Dataset, col_a: str, col_b: str
+) -> pd.DataFrame:
+    """Pearson chi-squared independence statistic between two categorical
+    columns -> one row (chi2_micro, dof, n_rows).
+
+    The cross-column consistency profile: a large statistic means
+    ``col_a``'s distribution shifts with ``col_b`` (e.g. an event type
+    that only fires at night). The contingency table flows through the
+    (a, b, cnt) combiner + skinny combine — one row per OBSERVED cell —
+    and the driver folds the dense |A| x |B| grid (unobserved cells
+    contribute their expected count). Bounded by category cardinality,
+    never corpus size. Output quantizes to integer micro-units
+    (half-up), the shared fixed-point oracle contract.
+    """
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([col_a, col_b], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    cells = _combine.combine_partials(
+        ds.select_columns([col_a, col_b]).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        keys=[col_a, col_b],
+        sums=["cnt"],
+    ).to_pandas()
+    pivot = cells.pivot_table(
+        index=col_a, columns=col_b, values="cnt", fill_value=0, aggfunc="sum"
+    ).to_numpy(np.float64)
+    n = pivot.sum()
+    na = pivot.sum(axis=1)
+    nb = pivot.sum(axis=0)
+    expected = na[:, None] * nb[None, :] / n
+    chi2 = float(((pivot - expected) ** 2 / expected).sum())
+    dof = (pivot.shape[0] - 1) * (pivot.shape[1] - 1)
+    return pd.DataFrame(
+        {
+            "chi2_micro": [np.int64(np.floor(chi2 * 1e6 + 0.5))],
+            "dof": [np.int64(dof)],
+            "n_rows": [np.int64(n)],
+        }
+    )

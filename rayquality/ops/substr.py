@@ -79,6 +79,8 @@ def _kgram_hashes(buf: np.ndarray, k: int) -> np.ndarray:
 def _fingerprint_batch(
     id_col: str, text_col: str, k: int, sample_mod: int
 ):
+    import hashlib
+
     mod = np.uint64(sample_mod)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -86,24 +88,45 @@ def _fingerprint_batch(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         blobs = [s.encode("utf-8", "surrogatepass") if s else b"" for s in texts]
         lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+        empty = pa.table(
+            {
+                id_col: ids[:0],
+                "ckey": np.empty(0, dtype=np.int64),
+                "fkey": np.empty(0, dtype=np.int64),
+            }
+        )
+        if not len(blobs):
+            return empty
+        # 8-byte content key for the exact-dup pre-collapse stage
+        ckeys = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(b).digest()[:8], "little", signed=True)
+                for b in blobs
+            ),
+            dtype=np.int64,
+            count=len(blobs),
+        )
         buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
         h = _kgram_hashes(buf, k)
         if not len(h):
-            return pa.table(
-                {id_col: ids[:0], "fkey": np.empty(0, dtype=np.int64)}
-            )
+            return empty
         starts = np.concatenate(([0], np.cumsum(lens)))
         pos = np.nonzero(h % mod == 0)[0]
         # doc owning the window start; keep only windows fully inside it
         owner = np.searchsorted(starts, pos, side="right") - 1
         ok = pos + k <= starts[owner + 1]
         pos, owner = pos[ok], owner[ok]
-        out = pd.DataFrame(
-            {
-                id_col: ids[owner],
-                "fkey": h[pos].view(np.int64),
-            }
-        ).drop_duplicates()
+        out = (
+            pd.DataFrame(
+                {
+                    id_col: ids[owner],
+                    "ckey": ckeys[owner],
+                    "fkey": h[pos].view(np.int64),
+                }
+            )
+            .groupby(["ckey", "fkey"], as_index=False)[id_col]
+            .min()  # block-level collapse: one row per (content, fingerprint)
+        )
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return fn
@@ -119,14 +142,29 @@ def shared_substring_pairs(
 ) -> rd.Dataset:
     """Lazy Dataset of (id_a, id_b, n_shared): document pairs sharing at
     least ``min_shared`` sampled k-byte substrings — i.e. likely to share a
-    long verbatim passage. See module docstring for guarantees."""
+    long verbatim passage. See module docstring for guarantees.
+
+    EXACT duplicates are pre-collapsed: byte-identical documents share ALL
+    fingerprints, so pairing them here would cost O(replicas² x
+    fingerprints) per duplicated content (measured 580 s on a 100-way-
+    duplicated 500k-doc corpus) while telling us nothing ``exact_dedup``
+    doesn't. One skinny hash-combine reduces the fingerprint table to one
+    row per (content, fingerprint) keyed by the min-id representative;
+    reported pairs are between representatives — join ``exact_dup_clusters``
+    to expand a representative to its byte-identical members. Same
+    pre-collapse contract as ``pairs.banded_hamming_pairs`` documents for
+    identical signatures."""
     from .combine import combine_partials
     from .pairs import equal_key_pair_ds
 
-    keyed = ds.select_columns([id_col, text_col]).map_batches(
+    fps = ds.select_columns([id_col, text_col]).map_batches(
         _fingerprint_batch(id_col, text_col, k, sample_mod),
         batch_format="pyarrow",
     )
+    # cross-block collapse: min representative id per (content, fingerprint)
+    keyed = combine_partials(
+        fps, keys=["ckey", "fkey"], sums=[], mins=[id_col]
+    ).select_columns([id_col, "fkey"])
     pairs = equal_key_pair_ds(keyed, id_col, "fkey", with_counts=True)
     combined = combine_partials(pairs, keys=["id_a", "id_b"], sums=["cnt"])
 

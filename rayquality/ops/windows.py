@@ -608,3 +608,51 @@ def first_per_key_window(
         .groupby("pkey")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def grouped_hash_sample(
+    ds: rd.Dataset, group_col: str, key_col: str, k: int = 10
+) -> rd.Dataset:
+    """Deterministic uniform k-sample per group: within each group keep
+    the ``k`` rows with the smallest Knuth hash of ``key_col`` -> lazy
+    Dataset (group, key, rk).
+
+    The per-group version of the reference's 10k-row sampling cap
+    (reference: core/orchestrator.py sample collection): reproducible
+    (pure function of the keys, no RNG state), SQL-checkable, and
+    combiner-bounded — each block survives at most k rows per group, so
+    the shuffle carries O(k x groups) rows. Hash ties (h collisions)
+    break by key asc, mirroring ``ORDER BY hash, key``.
+    """
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col].to_numpy(np.int64).astype(np.uint64)
+        out = pd.DataFrame(
+            {
+                group_col: df[group_col].to_numpy(),
+                key_col: df[key_col].to_numpy(np.int64),
+                "hkey": ((key * _KNUTH) % _H32).astype(np.int64),
+            }
+        )
+        out = out.sort_values(["hkey", key_col])
+        return out.groupby(group_col, sort=False).head(k)
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(64)).astype(np.int64)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", key_col])
+        g = g.groupby(group_col, sort=False).head(k).copy()
+        g["rk"] = g.groupby(group_col, sort=False).cumcount().to_numpy(np.int64) + 1
+        return g[[group_col, key_col, "rk"]]
+
+    return (
+        ds.select_columns([group_col, key_col])
+        .map_batches(block_top, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -270,6 +270,89 @@ def main() -> None:
         lambda: windows.first_per_key_window(events()),
     )
 
+    # ---- session-5 additions: FD/entropy/chi2 profiling, baskets, topk,
+    # hash sample, MAD, slope, quantile filter, temperature mixture,
+    # shared-substring fingerprints ------------------------------------------
+    run(
+        "fd_violations",
+        n_ord,
+        lambda: profile.fd_violations(orders(), "o_custkey", "o_orderpriority"),
+    )
+    run(
+        "grouped_entropy",
+        n_ev,
+        lambda: profile.grouped_entropy(
+            events().select_columns(["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+        ),
+    )
+    run(
+        "chi2_independence",
+        n_ev,
+        lambda: profile.chi2_independence(
+            events().select_columns(["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+        ),
+    )
+    run(
+        "basket_pairs",
+        n_ev,
+        lambda: analytic.basket_pairs(events(), "user_id", "event_type"),
+    )
+    run(
+        "grouped_topk",
+        n_ord,
+        lambda: analytic.grouped_topk(
+            orders(), "o_orderpriority", "o_totalprice", "o_orderkey", k=5
+        ),
+    )
+    run(
+        "grouped_hash_sample",
+        n_ord,
+        lambda: windows.grouped_hash_sample(
+            orders(), "o_orderstatus", "o_orderkey", k=10
+        ),
+    )
+    run(
+        "mad_outliers",
+        lineitem().count(),
+        lambda: profile.mad_outliers(lineitem(), "l_extendedprice"),
+    )
+    run(
+        "grouped_slope",
+        n_ord,
+        lambda: analytic.grouped_slope(
+            orders().map_batches(
+                lambda df: df.assign(x=df["o_custkey"].to_numpy() % 24),
+                batch_format="pandas",
+            ),
+            "o_orderpriority",
+            "x",
+            "o_totalprice",
+        ),
+    )
+    run(
+        "quantile_filter",
+        n_docs,
+        lambda: curation.quantile_filter(docs(), "n_chars", 0.75)[0],
+    )
+    run(
+        "temperature_mixture",
+        n_docs,
+        lambda: curation.temperature_mixture(docs(), "source", "doc_id"),
+    )
+
+    def _shared_substr():
+        from rayquality.ops import substr
+
+        # 100-way replicated texts: every doc shares ALL fingerprints with
+        # its 99 replicas — group_cap-bounded worst case for the pair kernel
+        return substr.shared_substring_pairs(docs(), k=32, sample_mod=8)
+
+    run("shared_substring_pairs", n_docs, _shared_substr)
+
     print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "n_orders": n_ord, "ops": results}))
     ray.shutdown()
 

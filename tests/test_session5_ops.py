@@ -168,14 +168,22 @@ def test_shared_substring_planted_passage(rd):
         assert ga & gb, f"pair ({a},{b}) shares no 24-gram"
 
 
-def test_shared_substring_exact_dups_batch_split(rd):
-    # identical docs land in different batches and still pair up
+def test_shared_substring_batch_split_and_exact_collapse(rd):
+    # docs sharing a passage land in different blocks and still pair up;
+    # byte-identical docs collapse to their min-id representative
     from rayquality.ops.substr import shared_substring_pairs
 
     rng = np.random.default_rng(11)
     alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
     base = "".join(rng.choice(alpha, 400))
-    texts = [base if i % 50 == 0 else "".join(rng.choice(alpha, 400)) for i in range(150)]
+    texts = []
+    for i in range(150):
+        if i % 50 == 0:
+            texts.append(base)  # 0, 50, 100: byte-identical triplet
+        elif i == 70:
+            texts.append(base + "unique tail for seventy")  # near-dup of the triplet
+        else:
+            texts.append("".join(rng.choice(alpha, 400)))
     import ray.data as rdm
 
     ds = rdm.from_pandas(
@@ -183,7 +191,10 @@ def test_shared_substring_exact_dups_batch_split(rd):
     ).repartition(6)
     pairs = shared_substring_pairs(ds, k=24, sample_mod=4, min_shared=2).to_pandas()
     got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
-    assert {(0, 50), (0, 100), (50, 100)} <= got
+    # the near-dup pairs with the triplet's REPRESENTATIVE (min id 0) only:
+    assert (0, 70) in got
+    for collapsed in [(0, 50), (0, 100), (50, 100), (50, 70), (70, 100)]:
+        assert collapsed not in got
 
 
 def test_kcenter_planted_clusters(rd):
@@ -211,3 +222,111 @@ def test_kcenter_planted_clusters(rd):
     assert all(r[i] >= r[i + 1] for i in range(1, len(r) - 1))
     # deterministic first pick: min id
     assert int(picks["id"].iloc[0]) == 0
+
+
+def test_mad_outliers_naive_parity(rd):
+    from rayquality.ops.profile import mad_outliers
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = mad_outliers(li, "l_extendedprice")
+    import math
+
+    v = pd.read_parquet(f"{SF}/lineitem.parquet")["l_extendedprice"].dropna().to_numpy()
+    c = np.sort((np.sign(v * 100) * np.floor(np.abs(v * 100) + 0.5)).astype(np.int64))
+    med = int(c[max(0, math.ceil(0.5 * len(c)) - 1)])
+    d = np.sort(np.abs(c - med))
+    mad = int(d[max(0, math.ceil(0.5 * len(d)) - 1)])
+    assert int(got["median_cents"].iloc[0]) == med
+    assert int(got["mad_cents"].iloc[0]) == mad
+    assert int(got["n_outliers"].iloc[0]) == int((np.abs(c - med) > 3 * mad).sum())
+    assert int(got["n_rows"].iloc[0]) == len(c)
+
+
+def test_chi2_independence_naive_parity(rd):
+    from rayquality.ops.profile import chi2_independence
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").select_columns(
+        ["event_type", "user_id"]
+    )
+    got = chi2_independence(ev, "event_type", "user_id")
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ct = pd.crosstab(pdf["event_type"], pdf["user_id"]).to_numpy(np.float64)
+    n = ct.sum()
+    e = ct.sum(axis=1)[:, None] * ct.sum(axis=0)[None, :] / n
+    chi2 = float(((ct - e) ** 2 / e).sum())
+    assert abs(int(got["chi2_micro"].iloc[0]) - np.floor(chi2 * 1e6 + 0.5)) <= 1
+    assert int(got["dof"].iloc[0]) == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert int(got["n_rows"].iloc[0]) == int(n)
+
+
+def test_basket_pairs_naive_parity(rd):
+    from rayquality.ops.analytic import basket_pairs
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = basket_pairs(ev, "user_id", "event_type")
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "event_type"]].drop_duplicates()
+    m = pdf.merge(pdf, on="user_id")
+    m = m[m["event_type_x"] < m["event_type_y"]]
+    want = (
+        m.groupby(["event_type_x", "event_type_y"], as_index=False)
+        .size()
+        .rename(
+            columns={"event_type_x": "item_a", "event_type_y": "item_b", "size": "n_baskets"}
+        )
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_hash_sample(rd):
+    from rayquality.ops.windows import grouped_hash_sample
+
+    od = rd.read_parquet(f"{SF}/orders.parquet")
+    got = (
+        grouped_hash_sample(od, "o_orderstatus", "o_orderkey", k=10)
+        .to_pandas()
+        .sort_values(["o_orderstatus", "rk"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/orders.parquet").copy()
+    kk = pdf["o_orderkey"].to_numpy(np.int64).astype(np.uint64)
+    pdf["hkey"] = ((kk * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+    pdf = pdf.sort_values(["hkey", "o_orderkey"])
+    want = pdf.groupby("o_orderstatus", sort=False).head(10).copy()
+    want["rk"] = want.groupby("o_orderstatus", sort=False).cumcount() + 1
+    want = (
+        want[["o_orderstatus", "o_orderkey", "rk"]]
+        .sort_values(["o_orderstatus", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # deterministic across runs
+    got2 = (
+        grouped_hash_sample(od, "o_orderstatus", "o_orderkey", k=10)
+        .to_pandas()
+        .sort_values(["o_orderstatus", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_grouped_slope_naive_parity(rd):
+    from rayquality.ops.analytic import grouped_slope
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 6 + ["c"] * 3,
+            "x": [0, 1, 2, 3, 4, 5] * 2 + [2, 2, 2],  # c: zero variance
+            "y": [1.0, 3.0, 5.0, 7.0, 9.0, 11.0]  # slope exactly 2.0
+            + [10.0, 8.0, 6.0, 4.0, 2.0, 0.0]  # slope exactly -2.0
+            + [1.0, 2.0, 3.0],
+        }
+    )
+    import ray.data as rdm
+
+    got = grouped_slope(rdm.from_pandas(df).repartition(3), "g", "x", "y")
+    assert list(got["g"]) == ["a", "b"]  # zero-variance group dropped
+    # y is in cents: slope 2.0 y-units/x = 200 cents/x = 2e8 micro
+    assert int(got[got["g"] == "a"]["slope_micro"].iloc[0]) == 200_000_000
+    assert int(got[got["g"] == "b"]["slope_micro"].iloc[0]) == -200_000_000
