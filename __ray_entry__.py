@@ -1155,6 +1155,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return cluster.kcenter_select(emb, k=8)
 
+    def pagerank_events(sf):
+        import pandas as pd
+        import pyarrow as pa
+
+        from rayquality.ops import graph
+
+        (ev,) = _tables(sf, "events")
+        TYPE_BASE = 10**12  # type nodes live above the user-id space
+        types = ["click", "error", "purchase", "signup", "view"]
+        code = {t: TYPE_BASE + i for i, t in enumerate(types)}
+
+        def to_edges(t: "pa.Table") -> "pa.Table":
+            import numpy as _np
+            import pandas as _pd
+
+            users = t["user_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+            tnode = (
+                _pd.Series(t["event_type"].to_pylist()).map(code).to_numpy(_np.int64)
+            )
+            # undirected engagement graph: user <-> event-type, one edge
+            # per (user, type) OCCURRENCE (multiplicity = engagement weight)
+            return pa.table(
+                {
+                    "src": pa.array(_np.concatenate([users, tnode])),
+                    "dst": pa.array(_np.concatenate([tnode, users])),
+                }
+            )
+
+        edges = ev.select_columns(["user_id", "event_type"]).map_batches(
+            to_edges, batch_format="pyarrow"
+        )
+
+        def user_nodes(t: "pa.Table") -> "pa.Table":
+            return t.select(["user_id"]).rename_columns(["node_id"])
+
+        nodes = ev.select_columns(["user_id"]).map_batches(
+            user_nodes, batch_format="pyarrow"
+        ).union(rd.from_arrow(pa.table({"node_id": list(code.values())})))
+        out = graph.pagerank(
+            edges, nodes, id_col="node_id", n_parts=16, max_iters=30
+        ).to_pandas()
+        # micro-quantized ranks of the 5 type nodes + top-10 users: a
+        # deterministic, bounded summary of the full ranking
+        out["rank_micro"] = (out["rank"].to_numpy() * 1e6).round().astype("int64")
+        types_out = out[out["node_id"] >= TYPE_BASE]
+        users_out = out[out["node_id"] < TYPE_BASE].nlargest(
+            10, ["rank", "node_id"]
+        )
+        res = (
+            pd.concat([types_out, users_out])[["node_id", "rank_micro"]]
+            .sort_values("node_id")
+            .reset_index(drop=True)
+        )
+        return res
+
     def mad_outliers_lineitem(sf):
         from rayquality.ops import profile
 
@@ -1333,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_stats": _q_decode_stats,
         "shared_substring_pairs_documents": shared_substring_pairs_documents,
         "kcenter_embeddings": kcenter_embeddings,
+        "pagerank_events": pagerank_events,
     }
 
 

@@ -262,3 +262,199 @@ def connected_components(
     if work_dir is None:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PageRank — same static-partition BSP shape as connected_components, with
+# per-round float contributions instead of min-labels
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _pr_load_adj(adj_path: str, p: int, state: tuple) -> tuple:
+    """(src_idx, dst, inv_outdeg_per_edge, dangling_mask) for one
+    partition. The adjacency is partitioned by hash(src), so every edge of
+    a source lives here and its out-degree is partition-local exact."""
+    ids, _ = state
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.float64),
+        np.ones(len(ids), bool),
+    )
+    part_dir = os.path.join(adj_path, f"pkey={p}")
+    if not os.path.isdir(part_dir) or len(ids) == 0:
+        return empty
+    t = pq.read_table(part_dir, columns=["src", "dst"])
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.searchsorted(ids, src)
+    ok = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == src)
+    idx, dst = idx[ok].astype(np.int64), dst[ok]
+    outdeg = np.bincount(idx, minlength=len(ids)).astype(np.float64)
+    dangling = outdeg == 0
+    inv = 1.0 / np.maximum(outdeg, 1.0)
+    return (idx, dst, inv[idx], dangling)
+
+
+@ray.remote
+def _pr_propagate(adj: tuple, state: tuple, n_parts: int) -> list:
+    """Emit (dst, rank[src]/outdeg[src]) contributions pre-split by
+    destination partition, plus this partition's dangling rank mass as the
+    LAST return value (a scalar — the only per-round driver traffic)."""
+    src_idx, dst, inv, dangling = adj
+    ids, rank = state
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if len(ids) == 0:
+        return [empty] * n_parts + [0.0]
+    dmass = float(rank[dangling].sum())
+    if len(src_idx) == 0:
+        return [empty] * n_parts + [dmass]
+    contrib = rank[src_idx] * inv
+    pk = _pkey(dst, n_parts)
+    order = np.argsort(pk, kind="stable")
+    d, c, pk = dst[order], contrib[order], pk[order]
+    bounds = np.searchsorted(pk, np.arange(n_parts + 1))
+    return [
+        (d[bounds[q]:bounds[q + 1]], c[bounds[q]:bounds[q + 1]])
+        for q in range(n_parts)
+    ] + [dmass]
+
+
+@ray.remote
+def _pr_combine(
+    state: tuple, base: float, damping: float, *proposals: tuple
+) -> tuple:
+    """new_rank = base + damping * sum(contributions) -> 2 returns:
+    (new state, L1 delta)."""
+    ids, rank = state
+    new = np.full(len(ids), base, np.float64)
+    for d, c in proposals:
+        if len(d) == 0 or len(ids) == 0:
+            continue
+        idx = np.searchsorted(ids, d)
+        ok = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == d)
+        np.add.at(new, idx[ok], damping * c[ok])
+    return (ids, new), float(np.abs(new - rank).sum())
+
+
+@ray.remote
+def _pr_to_arrow(state: tuple, id_col: str) -> pa.Table:
+    ids, rank = state
+    return pa.table({id_col: pa.array(ids), "rank": pa.array(rank)})
+
+
+def pagerank(
+    edges: rd.Dataset | pd.DataFrame,
+    nodes: rd.Dataset,
+    id_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iters: int = 30,
+    tol: float = 1e-8,
+    n_parts: int = 64,
+    work_dir: str | None = None,
+) -> rd.Dataset:
+    """Distributed PageRank (power iteration with dangling-mass
+    redistribution) -> lazy Dataset ``(id_col, rank)``; ranks sum to 1.
+
+    The influence/popularity score of a link graph — e.g. rank events'
+    user↔type engagement graph, or weight near-dup clusters by how central
+    each document is. Same architecture as :func:`connected_components`
+    (the documented raw-task fallback for iteration over static
+    co-partitioned state): adjacency hive-partitioned ONCE by hash(src),
+    per-round P propagate tasks emit rank/outdeg contributions pre-split
+    by destination partition (the P x P exchange is object refs), P
+    combine tasks fold with ``np.add.at``. Driver traffic per round: P
+    dangling-mass scalars + P L1-delta scalars — never a node or edge.
+    Stops when the L1 delta < ``tol`` or after ``max_iters`` rounds
+    (power iteration converges geometrically at rate ``damping``; no
+    error raise — partial convergence is still a valid ranking).
+    """
+    P = max(2, int(n_parts))
+    tmp = work_dir or tempfile.mkdtemp(prefix="rayquality_pr_")
+    adj_path = os.path.join(tmp, "adj")
+    nodes_path = os.path.join(tmp, "nodes")
+
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    src_col: edges[src_col].to_numpy(np.int64),
+                    dst_col: edges[dst_col].to_numpy(np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns([src_col, dst_col])
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("pkey", pa.int64())]
+            ).empty_table()
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(s), "dst": pa.array(d), "pkey": pa.array(_pkey(s, P))}
+        )
+
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("pkey", pa.int64())]
+            ).empty_table()
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids,
+                "pkey": pa.array(_pkey(ids.to_numpy(zero_copy_only=False), P)),
+            }
+        )
+
+    nodes.select_columns([id_col]).map_batches(
+        tag_nodes, batch_format="pyarrow"
+    ).write_parquet(nodes_path, partition_cols=["pkey"], mode="overwrite")
+    edges.map_batches(tag_edges, batch_format="pyarrow").write_parquet(
+        adj_path, partition_cols=["pkey"], mode="overwrite"
+    )
+
+    state = [_init_labels.remote(nodes_path, p, id_col) for p in range(P)]
+    adj = [_pr_load_adj.remote(adj_path, p, state[p]) for p in range(P)]
+
+    # initial rank = 1/N (labels from _init_labels are placeholder ids;
+    # overwrite in one tiny remote per partition)
+    @ray.remote
+    def _init_rank(st: tuple, n_total: int) -> tuple:
+        ids, _ = st
+        return (ids, np.full(len(ids), 1.0 / max(n_total, 1), np.float64))
+
+    @ray.remote
+    def _count(st: tuple) -> int:
+        return len(st[0])
+
+    n_total = int(sum(ray.get([_count.remote(state[p]) for p in range(P)])))
+    state = [_init_rank.remote(state[p], n_total) for p in range(P)]
+
+    for _ in range(max_iters):
+        props = [
+            _pr_propagate.options(num_returns=P + 1).remote(adj[p], state[p], P)
+            for p in range(P)
+        ]
+        dmass = sum(ray.get([props[p][P] for p in range(P)]))
+        base = (1.0 - damping) / n_total + damping * dmass / n_total
+        out2 = [
+            _pr_combine.options(num_returns=2).remote(
+                state[p], base, damping, *[props[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        state = [o[0] for o in out2]
+        if sum(ray.get([o[1] for o in out2])) < tol:
+            break
+    out = rd.from_arrow_refs(
+        [_pr_to_arrow.remote(state[p], id_col) for p in range(P)]
+    )
+    if work_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -344,6 +344,36 @@ def main() -> None:
         lambda: curation.temperature_mixture(docs(), "source", "doc_id"),
     )
 
+    def _pagerank():
+        import pyarrow as pa
+
+        from rayquality.ops import graph
+
+        TYPE_BASE = 10**12
+        types = ["click", "error", "purchase", "signup", "view"]
+        code = {t: TYPE_BASE + i for i, t in enumerate(types)}
+
+        def to_edges(t: "pa.Table") -> "pa.Table":
+            users = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tnode = pd.Series(t["event_type"].to_pylist()).map(code).to_numpy(np.int64)
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([users, tnode])),
+                    "dst": pa.array(np.concatenate([tnode, users])),
+                }
+            )
+
+        edges = events().select_columns(["user_id", "event_type"]).map_batches(
+            to_edges, batch_format="pyarrow"
+        )
+        nodes = events().select_columns(["user_id"]).map_batches(
+            lambda t: t.select(["user_id"]).rename_columns(["node_id"]),
+            batch_format="pyarrow",
+        ).union(rd.from_arrow(pa.table({"node_id": list(code.values())})))
+        return graph.pagerank(edges, nodes, id_col="node_id", n_parts=32)
+
+    run("pagerank", n_ev, _pagerank)
+
     def _shared_substr():
         from rayquality.ops import substr
 

@@ -330,3 +330,61 @@ def test_grouped_slope_naive_parity(rd):
     # y is in cents: slope 2.0 y-units/x = 200 cents/x = 2e8 micro
     assert int(got[got["g"] == "a"]["slope_micro"].iloc[0]) == 200_000_000
     assert int(got[got["g"] == "b"]["slope_micro"].iloc[0]) == -200_000_000
+
+
+def test_pagerank_numpy_parity(rd):
+    from rayquality.ops.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n = 200
+    src = rng.integers(0, n, 800).astype(np.int64)
+    dst = rng.integers(0, n, 800).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # make nodes 190..199 dangling (no out-edges)
+    keep = src < 190
+    src, dst = src[keep], dst[keep]
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    nodes = rd.from_pandas(pd.DataFrame({"node_id": np.arange(n, dtype=np.int64)}))
+    got = (
+        pagerank(edges, nodes, id_col="node_id", n_parts=8, max_iters=50, tol=1e-12)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    # numpy reference: power iteration with dangling redistribution
+    d = 0.85
+    A = np.zeros((n, n))
+    for s, t in zip(src, dst):
+        A[s, t] += 1.0
+    outdeg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(50):
+        contrib = np.zeros(n)
+        nz = outdeg > 0
+        contrib += (r[nz] / outdeg[nz]) @ A[nz]
+        dmass = r[~nz].sum()
+        r_new = (1 - d) / n + d * (contrib + dmass / n)
+        if np.abs(r_new - r).sum() < 1e-12:
+            r = r_new
+            break
+        r = r_new
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-9)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_star_hub_wins(rd):
+    from rayquality.ops.graph import pagerank
+
+    # every spoke links to the hub (node 0); hub links back to spoke 1
+    edges = pd.DataFrame(
+        {
+            "src": np.array(list(range(1, 20)) + [0], dtype=np.int64),
+            "dst": np.array([0] * 19 + [1], dtype=np.int64),
+        }
+    )
+    nodes = rd.from_pandas(pd.DataFrame({"node_id": np.arange(20, dtype=np.int64)}))
+    got = pagerank(edges, nodes, id_col="node_id", n_parts=4).to_pandas()
+    top = got.sort_values("rank", ascending=False).iloc[0]
+    assert int(top["node_id"]) == 0
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
