@@ -1210,6 +1210,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res
 
+    def growth_accounting_events(sf):
+        from rayquality.ops import analytic
+
+        (ev,) = _tables(sf, "events")
+        return analytic.growth_accounting(ev)
+
+    def approx_distinct_per_type_events(sf):
+        from rayquality.ops import sketch
+
+        (ev,) = _tables(sf, "events")
+        return sketch.grouped_approx_distinct(ev, "event_type", "user_id")
+
     def mad_outliers_lineitem(sf):
         from rayquality.ops import profile
 
@@ -1370,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs_events": basket_pairs_events,
         "hash_sample_orders_status": hash_sample_orders_status,
         "slope_value_by_hour_events": slope_value_by_hour_events,
+        "growth_accounting_events": growth_accounting_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -1389,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_substring_pairs_documents": shared_substring_pairs_documents,
         "kcenter_embeddings": kcenter_embeddings,
         "pagerank_events": pagerank_events,
+        "approx_distinct_per_type_events": approx_distinct_per_type_events,
     }
 
 
@@ -2096,6 +2110,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) "
             "WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < t.thr "
             "ORDER BY doc_id"
+        ),
+        "growth_accounting_events": (
+            "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "
+            "  FROM events GROUP BY user_id), "
+            "c AS (SELECT CAST(d0 AS VARCHAR) AS day, COUNT(*) AS new_users "
+            "  FROM f GROUP BY d0) "
+            "SELECT day, CAST(new_users AS BIGINT) AS new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users "
+            "FROM c ORDER BY day"
         ),
         "mad_outliers_lineitem": (
             "WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v "

@@ -588,3 +588,47 @@ def grouped_slope(
         out.append((r[group_col], np.int64(np.floor(slope * 1e6 + 0.5)), np.int64(n)))
     res = pd.DataFrame(out, columns=[group_col, "slope_micro", "n"])
     return res.sort_values(group_col).reset_index(drop=True)
+
+
+def growth_accounting(
+    ds: rd.Dataset, user_col: str = "user_id", ts_col: str = "ts"
+) -> pd.DataFrame:
+    """New vs cumulative users per day -> DataFrame
+    (day, new_users, cum_users): a user is NEW on the day of their first
+    event; ``cum_users`` is the running distinct-user count.
+
+    The growth-accounting profile of an event log. Per-batch min-date per
+    user (combiner) -> one skinny hash combine finishes the exact first
+    day per user -> per-day counts (second combiner over one-row-per-user
+    partials) -> the driver cumsums the tiny per-day table (days are
+    bounded by the calendar, not the corpus). Days serialize as
+    'YYYY-MM-DD' strings so the oracle's DATE casts compare exactly.
+    """
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(user_col, as_index=False)[ts_col].min()
+        return g.rename(columns={ts_col: "d0"})
+
+    firsts = _combine.combine_partials(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            first_partial, batch_format="pandas"
+        ),
+        keys=[user_col],
+        sums=[],
+        mins=["d0"],
+    )
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = pd.to_datetime(df["d0"]).dt.strftime("%Y-%m-%d")
+        g = days.value_counts().rename_axis("day").reset_index(name="new_users")
+        g["new_users"] = g["new_users"].astype(np.int64)
+        return g
+
+    per_day = _combine.combine_partials(
+        firsts.map_batches(day_partial, batch_format="pandas"),
+        keys=["day"],
+        sums=["new_users"],
+    ).to_pandas()
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype(np.int64)
+    return per_day

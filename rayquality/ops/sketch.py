@@ -441,3 +441,55 @@ def grouped_quantiles(
     )
     out["q"] = out["q"].astype(np.float64)
     return out.sort_values([group_col, "q"]).reset_index(drop=True)
+
+
+def grouped_approx_distinct(
+    ds: rd.Dataset, group_col: str, value_col: str, precision: int = 12
+) -> pd.DataFrame:
+    """Approximate distinct ``value_col`` count PER ``group_col`` value via
+    mergeable HLL sketches -> DataFrame (group, approx_distinct).
+
+    The scale path for grouped cardinality when the exact
+    ``distinct_per_group`` plan (one row per distinct pair) would shuffle
+    too much — sketches make the shuffled payload O(groups x 2^precision
+    bytes) regardless of value cardinality. Per-batch: one register blob
+    per group present in the block (combiner); one hash-partition combine
+    folds blobs with elementwise max (HLL union is exact over merges —
+    re-batched rows cannot double-count).
+    """
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        groups, blobs = [], []
+        for g, sub in df.groupby(group_col, dropna=False, sort=False):
+            sk = HllSketch(precision)
+            vals = sub[value_col].dropna()
+            if len(vals):
+                sk.add(vals.to_numpy())
+            groups.append(g)
+            blobs.append(sk.registers.tobytes())
+        return pd.DataFrame({group_col: groups, "registers": blobs})
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(64)).astype(np.int64)
+        return df
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for gv, sub in g.groupby(group_col, dropna=False, sort=False):
+            mats = np.stack([np.frombuffer(b, np.uint8) for b in sub["registers"]])
+            sk = HllSketch(precision, mats.max(axis=0).copy())
+            out_g.append(gv)
+            out_n.append(np.int64(round(sk.estimate())))
+        return pd.DataFrame({group_col: out_g, "approx_distinct": out_n})
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(per_batch, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(merge_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -388,3 +388,34 @@ def test_pagerank_star_hub_wins(rd):
     top = got.sort_values("rank", ascending=False).iloc[0]
     assert int(top["node_id"]) == 0
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_growth_accounting_naive_parity(rd):
+    from rayquality.ops.analytic import growth_accounting
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = growth_accounting(ev)
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    first = pdf.groupby("user_id")["ts"].min().dt.strftime("%Y-%m-%d")
+    want = (
+        first.value_counts().rename_axis("day").reset_index(name="new_users")
+        .sort_values("day").reset_index(drop=True)
+    )
+    want["cum_users"] = want["new_users"].cumsum()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got["cum_users"].iloc[-1]) == pdf["user_id"].nunique()
+
+
+def test_grouped_approx_distinct_accuracy(rd):
+    from rayquality.ops.sketch import grouped_approx_distinct
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = grouped_approx_distinct(ev, "event_type", "user_id")
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    exact = pdf.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    for _, row in got.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - e) / max(e, 1) < 0.05, (
+            row["event_type"], row["approx_distinct"], e
+        )
