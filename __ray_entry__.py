@@ -1210,6 +1210,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res
 
+    def changelog_merge_orders(sf):
+        import numpy as np
+        import pandas as pd
+
+        from rayquality.ops import increment, quant
+
+        (od,) = _tables(sf, "orders")
+
+        def to_snap(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                    "value_cents": quant.cents_np(
+                        df["o_totalprice"].to_numpy(np.float64)
+                    ),
+                    "version": np.int64(1),
+                }
+            )
+
+        snap = od.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+            to_snap, batch_format="pandas"
+        )
+
+        def to_delta(df: "pd.DataFrame") -> "pd.DataFrame":
+            k = df["o_orderkey"].to_numpy(np.int64)
+            cents = quant.cents_np(df["o_totalprice"].to_numpy(np.float64))
+            upd = k % 10 == 0
+            dele = k % 17 == 0
+            rows = [
+                pd.DataFrame(
+                    {
+                        "o_orderkey": k[upd],
+                        "value_cents": cents[upd] + 100,
+                        "version": np.int64(2),
+                        "op": "u",
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "o_orderkey": k[dele],
+                        "value_cents": np.int64(0),
+                        "version": np.int64(2),
+                        "op": "d",
+                    }
+                ),
+            ]
+            return pd.concat(rows, ignore_index=True)
+
+        delta = od.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+            to_delta, batch_format="pandas"
+        )
+        out = increment.apply_changelog(
+            snap, delta, "o_orderkey", ["value_cents"]
+        ).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
+    def join_cardinality_events_orders(sf):
+        from rayquality.ops import profile
+
+        ev, od = _tables(sf, "events", "orders")
+        return profile.join_cardinality(ev, "user_id", od, "o_custkey")
+
     def growth_accounting_events(sf):
         from rayquality.ops import analytic
 
@@ -1383,6 +1445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_orders_status": hash_sample_orders_status,
         "slope_value_by_hour_events": slope_value_by_hour_events,
         "growth_accounting_events": growth_accounting_events,
+        "changelog_merge_orders": changelog_merge_orders,
+        "join_cardinality_events_orders": join_cardinality_events_orders,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2110,6 +2174,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) "
             "WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < t.thr "
             "ORDER BY doc_id"
+        ),
+        "changelog_merge_orders": (
+            "WITH snap AS (SELECT o_orderkey, "
+            "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS value_cents, "
+            "  CAST(1 AS BIGINT) AS version, 'u' AS op FROM orders), "
+            "delta AS ("
+            "  SELECT o_orderkey, "
+            "    CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100 AS value_cents, "
+            "    CAST(2 AS BIGINT) AS version, 'u' AS op FROM orders "
+            "    WHERE o_orderkey % 10 = 0 "
+            "  UNION ALL "
+            "  SELECT o_orderkey, CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'd' "
+            "    FROM orders WHERE o_orderkey % 17 = 0), "
+            "u AS (SELECT * FROM snap UNION ALL SELECT * FROM delta), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
+            "  ORDER BY version DESC, op ASC) AS rn FROM u) "
+            "SELECT o_orderkey, value_cents, version FROM r "
+            "WHERE rn = 1 AND op = 'u' ORDER BY o_orderkey"
+        ),
+        "join_cardinality_events_orders": (
+            "WITH a AS (SELECT user_id AS k, COUNT(*) AS cnt "
+            "  FROM events GROUP BY 1), "
+            "b AS (SELECT o_custkey AS k, COUNT(*) AS cnt "
+            "  FROM orders GROUP BY 1) "
+            "SELECT CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS BIGINT) AS join_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys_common "
+            "FROM a JOIN b USING (k)"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

@@ -145,3 +145,62 @@ def dedup_against_index(
         return pa.table({id_col: t[id_col], "novel": novel})
 
     return hashed.map_batches(verdict, batch_format="pyarrow")
+
+
+def apply_changelog(
+    snapshot: rd.Dataset,
+    changelog: rd.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> rd.Dataset:
+    """CDC merge: apply an upsert/delete changelog to a snapshot -> lazy
+    Dataset of the new snapshot (key, value_cols..., version).
+
+    The warehouse MERGE / compaction step of a continuously-ingested
+    corpus: per key, the highest-``version`` record wins; at equal
+    version a delete ('d') beats an upsert ('u'); keys whose winner is a
+    delete disappear. The snapshot's rows are implicit upserts.
+
+    Per-batch best-per-key is the combiner (one candidate row per key per
+    block — lexicographic (version desc, op asc) via a sort +
+    drop_duplicates, the ``latest_per_key`` kernel), one hash-partition
+    pass finishes the global winner, and the delete filter runs in the
+    same pass. Full rows shuffle only for keys present in the block —
+    bounded by distinct keys per block, never by row count.
+    """
+    cols = [key_col, *value_cols, version_col, op_col]
+
+    def tag_snapshot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[op_col] = "u"
+        return df[cols]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([version_col, op_col], ascending=[False, True])
+        return df.drop_duplicates(subset=[key_col], keep="first")[cols]
+
+    snap = snapshot.select_columns(
+        [key_col, *value_cols, version_col]
+    ).map_batches(tag_snapshot, batch_format="pandas")
+    delta = changelog.select_columns(cols)
+    both = snap.union(delta).map_batches(pick, batch_format="pandas")
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(64)).astype(np.int64)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([version_col, op_col], ascending=[False, True])
+        g = g.drop_duplicates(subset=[key_col], keep="first")
+        g = g[g[op_col] == "u"]
+        return g[[key_col, *value_cols, version_col]]
+
+    return (
+        both.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(finish, batch_format="pandas")
+    )

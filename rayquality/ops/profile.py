@@ -428,3 +428,76 @@ def chi2_independence(
             "n_rows": [np.int64(n)],
         }
     )
+
+
+def join_cardinality(
+    ds_a: rd.Dataset, key_a: str, ds_b: rd.Dataset, key_b: str
+) -> pd.DataFrame:
+    """EXACT inner-join output cardinality WITHOUT running the join ->
+    one row (join_rows, n_keys_common): sum over shared keys of
+    count_a(k) * count_b(k).
+
+    The query-planning / blow-up-detection profile (a skewed key pair
+    that would explode a join shows up here as a huge product before
+    anyone pays for the join). Each side reduces to (key, cnt) through
+    the value-counts combiner; both skinny count tables co-partition by
+    key hash and each partition sums the products — the shuffle carries
+    one row per distinct key per side.
+    """
+
+    def count_partial(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(col, as_index=False).size()
+            g = g.rename(columns={col: "k", "size": "cnt"})
+            g["cnt"] = g["cnt"].astype(np.int64)
+            return g
+
+        return fn
+
+    def side(ds: rd.Dataset, col: str, name: str) -> rd.Dataset:
+        counts = _combine.combine_partials(
+            ds.select_columns([col]).map_batches(
+                count_partial(col), batch_format="pandas"
+            ),
+            keys=["k"],
+            sums=["cnt"],
+        )
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = name
+            return df
+
+        return counts.map_batches(tag, batch_format="pandas")
+
+    both = side(ds_a, key_a, "a").union(side(ds_b, key_b, "b"))
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["k"], index=False).to_numpy(np.uint64)
+        df = df.copy()
+        df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == "a"][["k", "cnt"]]
+        b = g[g["side"] == "b"][["k", "cnt"]]
+        m = a.merge(b, on="k", suffixes=("_a", "_b"))
+        return pd.DataFrame(
+            {
+                "join_rows": [np.int64((m["cnt_a"] * m["cnt_b"]).sum())],
+                "n_keys_common": [np.int64(len(m))],
+            }
+        )
+
+    parts = (
+        both.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "join_rows": [np.int64(parts["join_rows"].sum())],
+            "n_keys_common": [np.int64(parts["n_keys_common"].sum())],
+        }
+    )

@@ -344,6 +344,57 @@ def main() -> None:
         lambda: curation.temperature_mixture(docs(), "source", "doc_id"),
     )
 
+    run(
+        "growth_accounting",
+        n_ev,
+        lambda: analytic.growth_accounting(events()),
+    )
+
+    def _grouped_hll():
+        from rayquality.ops import sketch
+
+        return sketch.grouped_approx_distinct(events(), "event_type", "user_id")
+
+    run("grouped_approx_distinct", n_ev, _grouped_hll)
+
+    def _changelog():
+        from rayquality.ops import increment
+
+        def to_snap(df):
+            return pd.DataFrame(
+                {
+                    "k": df["o_orderkey"].to_numpy(np.int64),
+                    "v": df["o_custkey"].to_numpy(np.int64),
+                    "version": np.int64(1),
+                }
+            )
+
+        def to_delta(df):
+            k = df["o_orderkey"].to_numpy(np.int64)
+            upd, dele = k % 10 == 0, k % 17 == 0
+            return pd.concat(
+                [
+                    pd.DataFrame(
+                        {"k": k[upd], "v": np.int64(0), "version": np.int64(2), "op": "u"}
+                    ),
+                    pd.DataFrame(
+                        {"k": k[dele], "v": np.int64(0), "version": np.int64(2), "op": "d"}
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+        snap = orders().map_batches(to_snap, batch_format="pandas")
+        delta = orders().map_batches(to_delta, batch_format="pandas")
+        return increment.apply_changelog(snap, delta, "k", ["v"])
+
+    run("apply_changelog", n_ord, _changelog)
+    run(
+        "join_cardinality",
+        n_ev + n_ord,
+        lambda: profile.join_cardinality(events(), "user_id", orders(), "o_custkey"),
+    )
+
     def _pagerank():
         import pyarrow as pa
 

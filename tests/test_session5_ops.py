@@ -419,3 +419,63 @@ def test_grouped_approx_distinct_accuracy(rd):
         assert abs(row["approx_distinct"] - e) / max(e, 1) < 0.05, (
             row["event_type"], row["approx_distinct"], e
         )
+
+
+def test_apply_changelog_semantics(rd):
+    from rayquality.ops.increment import apply_changelog
+
+    snap = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": np.array([1, 2, 3, 4], dtype=np.int64),
+                "v": np.array([10, 20, 30, 40], dtype=np.int64),
+                "version": np.int64(1),
+            }
+        )
+    )
+    # update k=2, delete k=3, insert k=5, update+delete tie on k=4 (delete wins)
+    delta = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": np.array([2, 3, 5, 4, 4], dtype=np.int64),
+                "v": np.array([21, 0, 50, 41, 0], dtype=np.int64),
+                "version": np.array([2, 2, 2, 2, 2], dtype=np.int64),
+                "op": ["u", "d", "u", "u", "d"],
+            }
+        )
+    )
+    got = (
+        apply_changelog(snap, delta, "k", ["v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 5], dtype=np.int64),
+            "v": np.array([10, 21, 50], dtype=np.int64),
+            "version": np.array([1, 2, 2], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_join_cardinality_naive_parity(rd):
+    from rayquality.ops.profile import join_cardinality
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    od = rd.read_parquet(f"{SF}/orders.parquet")
+    got = join_cardinality(ev, "user_id", od, "o_custkey")
+    e = pd.read_parquet(f"{SF}/events.parquet")["user_id"].value_counts()
+    o = pd.read_parquet(f"{SF}/orders.parquet")["o_custkey"].value_counts()
+    common = e.index.intersection(o.index)
+    want = int((e[common] * o[common]).sum())
+    assert int(got["join_rows"].iloc[0]) == want
+    assert int(got["n_keys_common"].iloc[0]) == len(common)
+    # parity with the actual join
+    real = pd.read_parquet(f"{SF}/events.parquet")[["user_id"]].merge(
+        pd.read_parquet(f"{SF}/orders.parquet")[["o_custkey"]],
+        left_on="user_id",
+        right_on="o_custkey",
+    )
+    assert int(got["join_rows"].iloc[0]) == len(real)
