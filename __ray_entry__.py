@@ -1155,6 +1155,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return cluster.kcenter_select(emb, k=8)
 
+    def pq_search_embeddings(sf):
+        import pandas as pd
+
+        from rayquality.ops import ann
+
+        (emb,) = _tables(sf, "embeddings")
+        books = ann.pq_train(emb, m=8, sample=4096)
+        codes = ann.pq_encode(emb, books)
+        qids = [0, 7, 19, 41, 77]
+        qdf = (
+            emb.select_columns(["vec_id", "embedding"])
+            .filter(expr=f"vec_id in {qids}")
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        return ann.pq_search(codes, books, qdf, k=10)
+
     def pagerank_events(sf):
         import pandas as pd
         import pyarrow as pa
@@ -1467,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_embeddings": kcenter_embeddings,
         "pagerank_events": pagerank_events,
         "approx_distinct_per_type_events": approx_distinct_per_type_events,
+        "pq_search_embeddings": pq_search_embeddings,
     }
 
 

@@ -235,6 +235,30 @@ def _ann_bench(sf: float) -> dict:
         n_probe=8,
     )
     ivf_idx = time.time() - t0
+    # product quantization: 64-d float32 -> 8 uint8 codes (32x memory);
+    # ADC search over the encoded corpus
+    t0 = time.time()
+    books = ann.pq_train(ds, m=8, sample=8192)
+    codes = ann.pq_encode(ds, books).materialize()
+    pq_build = time.time() - t0
+    t0 = time.time()
+    ann.pq_search(codes, books, qdf.reset_index(drop=True), k=10)
+    pq_search_t = time.time() - t0
+    # IVF-PQ: IO-pruned cells x PQ codes — probe n_probe/n_cells of the
+    # gather volume pure PQ pays
+    ivfpq_path = f"/tmp/rayquality_ivfpq_bench/n{n}"
+    t0 = time.time()
+    ann.ivfpq_build_index(ds, ivfpq_path, n_cells=n_cells, m=8)
+    ivfpq_build = time.time() - t0
+    t0 = time.time()
+    ann.ivfpq_search_index(
+        ivfpq_path,
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=10,
+        n_probe=8,
+    )
+    ivfpq_search = time.time() - t0
     return {
         "n_vectors": n,
         "n_queries": len(qids),
@@ -244,6 +268,12 @@ def _ann_bench(sf: float) -> dict:
         "index_build_sec": round(build, 3),
         "index_search_sec": round(ivf_idx, 3),
         "index_speedup_vs_brute": round(brute / ivf_idx, 2),
+        "pq_train_encode_sec": round(pq_build, 3),
+        "pq_search_sec": round(pq_search_t, 3),
+        "pq_speedup_vs_brute": round(brute / pq_search_t, 2),
+        "ivfpq_build_sec": round(ivfpq_build, 3),
+        "ivfpq_search_sec": round(ivfpq_search, 3),
+        "ivfpq_speedup_vs_brute": round(brute / ivfpq_search, 2),
     }
 
 

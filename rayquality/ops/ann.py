@@ -335,3 +335,308 @@ def ivf_search_index(
         sub, centroids, np.asarray(q_ids), q_mat, n_probe, k,
         meta["id_col"], meta["vec_col"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-compression scale path: m uint8 codes
+# per vector instead of dim float32s (e.g. 64-d float32 -> 8 bytes, 32x)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    ds: rd.Dataset,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 8192,
+    seed: int = 29,
+) -> np.ndarray:
+    """Train product-quantization codebooks -> array (m, n_codes, dim/m).
+
+    Vectors are L2-normalized then split into ``m`` contiguous subspaces;
+    each subspace gets an independent ``n_codes``-centroid k-means trained
+    on a partitioning-independent hash sample (the standard FAISS recipe:
+    codebooks train on a sample, the full corpus only encodes). dim must
+    be divisible by m.
+    """
+    sdf = _hash_sample(ds, id_col, vec_col, sample)
+    mat = np.stack(sdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(n_codes, len(mat)), sub), np.float64)
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        idx = rng.choice(len(x), size=min(n_codes, len(x)), replace=False)
+        cent = x[idx].copy()
+        for _ in range(8):  # Lloyd's on the sample (plain L2)
+            # argmin ||x-c||^2 = argmin(-2 x.c + ||c||^2): one matmul, no
+            # (n, n_codes, sub) broadcast temp
+            d = -2.0 * (x @ cent.T) + (cent**2).sum(axis=1)[None, :]
+            assign = d.argmin(axis=1)
+            # vectorized centroid update: per-cluster sums via np.add.at
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(cent)).astype(np.float64)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+        books[j, : len(cent)] = cent
+    return books
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Encode every vector to m uint8 codes -> lazy Dataset
+    (id, codes: binary[m]). Codebooks broadcast once via ``ray.put``;
+    each batch is one vectorized distance argmin per subspace."""
+    m, _n_codes, sub = codebooks.shape
+    books_ref = ray.put(codebooks)
+
+    def encode(t: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub : (j + 1) * sub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d = -2.0 * (x @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        codes_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(mat), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({id_col: pa.array(ids), "codes": codes_arr})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def pq_search(
+    codes_ds: rd.Dataset,
+    codebooks: np.ndarray,
+    queries: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes -> (query_id,
+    neighbor_id, rank).
+
+    Per query a (m x n_codes) lookup table of subspace distances is built
+    ONCE (driver-side, tiny) and broadcast; each batch decodes distances
+    with pure table lookups + a sum over m — no float vector ever leaves
+    the object store. Ranking is by approximate L2 asc on normalized
+    vectors (equivalent to cosine desc up to quantization error);
+    deterministic (dist asc, neighbor_id asc).
+    """
+    m, n_codes, sub = codebooks.shape
+    q_ids = queries[id_col].to_numpy()
+    q_mat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # (Q, m, n_codes) distance lookup tables; float32 halves the gather
+    # traffic in the (memory-bound) ADC scan
+    luts = np.empty((len(q_mat), m, n_codes), np.float32)
+    for j in range(m):
+        x = q_mat[:, j * sub : (j + 1) * sub]
+        luts[:, j, :] = (
+            -2.0 * (x @ codebooks[j].T)
+            + (x**2).sum(axis=1)[:, None]
+            + (codebooks[j] ** 2).sum(axis=1)[None, :]
+        ).astype(np.float32)
+    lut_ref = ray.put((q_ids, luts))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, lt = ray.get(lut_ref)
+        nids = t[id_col].to_numpy(zero_copy_only=False)
+        arr = t["codes"].combine_chunks()
+        # FixedSizeBinary data buffer is contiguous: zero-copy reshape
+        raw = np.frombuffer(arr.buffers()[1], np.uint8)[
+            arr.offset * m : (arr.offset + len(arr)) * m
+        ].reshape(-1, m)
+        # dists[q, b] = sum_j lut[q, j, codes[b, j]] — gather-bound, so run
+        # in query chunks: each chunk's LUT slab (chunk x m x 256 float32,
+        # 256 KB at chunk=256) stays cache-resident across the m gathers
+        dists = np.empty((len(qi), len(nids)), np.float32)
+        CH = 256
+        for q0 in range(0, len(qi), CH):
+            lt_c = np.ascontiguousarray(lt[q0 : q0 + CH])
+            acc = lt_c[:, 0, raw[:, 0]]
+            for j in range(1, m):
+                acc += lt_c[:, j, raw[:, j]]
+            dists[q0 : q0 + CH] = acc
+        sims = -dists.astype(np.float64)  # reuse the (sim desc) top-k kernel
+        sims[qi[:, None] == nids[None, :]] = -np.inf
+        return _emit_topk(qi, nids, sims, k)
+
+    parts = codes_ds.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    return _merge_topk(parts, k)
+
+
+def ivfpq_build_index(
+    ds: rd.Dataset,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 3,
+) -> dict:
+    """Build a persisted IVF-PQ index: coarse cells for IO pruning + PQ
+    codes for 32x smaller residency — the standard billion-scale ANN
+    layout (FAISS IVFPQ). One streaming pass tags each vector's cell AND
+    encodes its m uint8 codes; the hive-partitioned write
+    (``cell=N/`` of (id, cell, codes)) plus centroid/codebook sidecars is
+    the whole index. At 100 TB the float vectors never need to exist
+    again after this pass.
+    """
+    import json as _json
+    import os
+
+    sample = _hash_sample(ds, id_col, vec_col, 8192)
+    smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    centroids = _kmeans(smat, n_cells, seed)
+    books = pq_train(ds, m=m, id_col=id_col, vec_col=vec_col, seed=seed + 1)
+    state = ray.put((centroids, books))
+    sub = books.shape[2]
+
+    def tag_encode(t: pa.Table) -> pa.Table:
+        cent, bk = ray.get(state)
+        mat = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(mat @ cent.T, axis=1)
+        codes = np.empty((len(mat), m), np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub : (j + 1) * sub]
+            d = -2.0 * (x @ bk[j].T) + (bk[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        codes_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(mat), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                # partition value also kept as a real column: readers of
+                # individual files (IO-pruned path) need it without hive
+                # reconstruction
+                "cellv": pa.array(cells.astype(np.int64)),
+                "codes": codes_arr,
+                "cell": pa.array(cells.astype(np.int64)),
+            }
+        )
+
+    ds.select_columns([id_col, vec_col]).map_batches(
+        tag_encode, batch_format="pyarrow"
+    ).write_parquet(path, partition_cols=["cell"], mode="overwrite")
+    np.save(os.path.join(path, "_centroids.npy"), centroids)
+    np.save(os.path.join(path, "_codebooks.npy"), books)
+    meta = {"n_cells": int(n_cells), "m": int(m), "id_col": id_col}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return {"path": path, **meta}
+
+
+def ivfpq_search_index(
+    path: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """Search a persisted IVF-PQ index: read ONLY the probed ``cell=N/``
+    code files (IO pruning), then per batch run the chunked ADC gather
+    ONLY for the queries probing that batch's cells (compute pruning —
+    n_probe/n_cells of the gather volume that pure PQ pays). Returns
+    (query_id, neighbor_id, rank); approximate on both axes (cell recall
+    x quantization), the honest trade the 100-TB regime requires."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    books = np.load(os.path.join(path, "_codebooks.npy"))
+    meta = _json.load(open(os.path.join(path, "_meta.json")))
+    m, n_codes, sub = books.shape
+    id_col = meta["id_col"]
+    q_mat = q_mat.astype(np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_ids = np.asarray(q_ids)
+
+    luts = np.empty((len(q_mat), m, n_codes), np.float32)
+    for j in range(m):
+        x = q_mat[:, j * sub : (j + 1) * sub]
+        luts[:, j, :] = (
+            -2.0 * (x @ books[j].T)
+            + (x**2).sum(axis=1)[:, None]
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        ).astype(np.float32)
+    # per-cell query inversion (the _ivf_scan trick, LUT edition)
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    per_cell = []
+    for c in range(len(centroids)):
+        qrows = np.nonzero((q_cells == c).any(axis=1))[0]
+        per_cell.append((q_ids[qrows], np.ascontiguousarray(luts[qrows])))
+    state = ray.put(per_cell)
+    probed = np.unique(q_cells.ravel())
+    files = [
+        f
+        for c in probed.tolist()
+        for f in sorted(_glob.glob(os.path.join(path, f"cell={c}", "*.parquet")))
+    ]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cellq = ray.get(state)
+        nids = t[id_col].to_numpy(zero_copy_only=False)
+        arr = t["codes"].combine_chunks()
+        raw = np.frombuffer(arr.buffers()[1], np.uint8)[
+            arr.offset * m : (arr.offset + len(arr)) * m
+        ].reshape(-1, m)
+        cells = t["cellv"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cells, kind="stable")
+        bounds = np.nonzero(np.diff(cells[order]))[0] + 1
+        outs = []
+        for grp in np.split(order, bounds):
+            c = int(cells[grp[0]])
+            qi_c, lt_c = cellq[c]
+            if not len(qi_c):
+                continue
+            rg = raw[grp]
+            dists = np.empty((len(qi_c), len(grp)), np.float32)
+            CH = 256
+            for q0 in range(0, len(qi_c), CH):
+                ltc = np.ascontiguousarray(lt_c[q0 : q0 + CH])
+                acc = ltc[:, 0, rg[:, 0]]
+                for j in range(1, m):
+                    acc += ltc[:, j, rg[:, j]]
+                dists[q0 : q0 + CH] = acc
+            sims = -dists.astype(np.float64)
+            sims[qi_c[:, None] == nids[grp][None, :]] = -np.inf
+            outs.append(_emit_topk(qi_c, nids[grp], sims, k))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return _batch_topk(pa.concat_tables(outs), k)
+
+    parts = (
+        rd.read_parquet(files, columns=[id_col, "cellv", "codes"])
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    return _merge_topk(parts, k)

@@ -479,3 +479,78 @@ def test_join_cardinality_naive_parity(rd):
         right_on="o_custkey",
     )
     assert int(got["join_rows"].iloc[0]) == len(real)
+
+
+def test_pq_recall_vs_brute(rd):
+    from rayquality.ops.ann import cosine_topk, pq_encode, pq_search, pq_train
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=8, sample=2048)
+    codes = pq_encode(emb, books)
+    qids = [0, 7, 19, 41, 77]
+    qdf = (
+        pd.read_parquet(f"{SF}/embeddings.parquet")
+        .query("vec_id in @qids")[["vec_id", "embedding"]]
+        .reset_index(drop=True)
+    )
+    approx = pq_search(codes, books, qdf, k=10)
+    exact = cosine_topk(emb, qids, k=10)
+    recall = []
+    for q in qids:
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        recall.append(len(a & e) / len(e))
+    assert np.mean(recall) >= 0.5, recall  # 32x compression, clustered data
+    # determinism
+    approx2 = pq_search(codes, books, qdf, k=10)
+    pd.testing.assert_frame_equal(approx, approx2)
+
+
+def test_pq_codes_shape_and_compression(rd):
+    from rayquality.ops.ann import pq_encode, pq_train
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=8, sample=1024)
+    assert books.shape[0] == 8
+    out = pq_encode(emb, books).to_pandas()
+    assert len(out) == pd.read_parquet(f"{SF}/embeddings.parquet").shape[0]
+    assert all(len(b) == 8 for b in out["codes"].head(50))  # 8 bytes/vector
+
+
+def test_ivfpq_index_recall(rd, tmp_path):
+    from rayquality.ops.ann import cosine_topk, ivfpq_build_index, ivfpq_search_index
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    meta = ivfpq_build_index(emb, path, n_cells=8, m=8)
+    assert meta["n_cells"] == 8
+    qids = [0, 7, 19, 41, 77]
+    qdf = (
+        pd.read_parquet(f"{SF}/embeddings.parquet")
+        .query("vec_id in @qids")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = ivfpq_search_index(
+        path,
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=10,
+        n_probe=4,
+    )
+    exact = cosine_topk(emb, qids, k=10)
+    recall = []
+    for q in qids:
+        a = set(got[got["query_id"] == q]["neighbor_id"])
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        recall.append(len(a & e) / len(e))
+    assert np.mean(recall) >= 0.4, recall  # cell recall x 32x quantization
+    # determinism
+    got2 = ivfpq_search_index(
+        path,
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=10,
+        n_probe=4,
+    )
+    pd.testing.assert_frame_equal(got, got2)
