@@ -1296,6 +1296,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (ev,) = _tables(sf, "events")
         return analytic.growth_accounting(ev)
 
+    def corpus_bigram_nll_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        out = text.corpus_bigram_nll(docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def event_paths_users(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.event_paths(ev).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1465,6 +1477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "growth_accounting_events": growth_accounting_events,
         "changelog_merge_orders": changelog_merge_orders,
         "join_cardinality_events_orders": join_cardinality_events_orders,
+        "corpus_bigram_nll_documents": corpus_bigram_nll_documents,
+        "event_paths_users": event_paths_users,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2220,6 +2234,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS BIGINT) AS join_rows, "
             "CAST(COUNT(*) AS BIGINT) AS n_keys_common "
             "FROM a JOIN b USING (k)"
+        ),
+        "corpus_bigram_nll_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS w "
+            "  FROM documents), "
+            "bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN "
+            "  [array_to_string(list_slice(w, i+1, i+2), ' ') FOR i IN range(len(w) - 1)] "
+            "  ELSE []::VARCHAR[] END) AS bigram FROM toks), "
+            "c2 AS (SELECT bigram, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1), "
+            "c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c) AS DOUBLE) AS c "
+            "  FROM c2 GROUP BY 1), "
+            "v AS (SELECT CAST(COUNT(DISTINCT split_part(bigram, ' ', 2)) AS DOUBLE) AS v "
+            "  FROM c2), "
+            "sc AS (SELECT bg.doc_id, LN((c2.c + 0.1) / (c1.c + 0.1 * v.v)) AS lp "
+            "  FROM bg JOIN c2 USING (bigram) "
+            "  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1 CROSS JOIN v) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(FLOOR(-SUM(lp) / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS nll_micro_nats "
+            "FROM sc GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "event_paths_users": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "  FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+            "  FROM r WHERE rn <= 50 GROUP BY user_id), "
+            "c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "  FROM events GROUP BY user_id) "
+            "SELECT c.user_id, c.n_events, p.path "
+            "FROM c JOIN p USING (user_id) ORDER BY c.user_id"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..models import langid, perplexity
@@ -408,3 +409,94 @@ def top_ngrams(
         .reset_index(drop=True)
     )
     return merged
+
+
+def corpus_bigram_nll(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> rd.Dataset:
+    """CCNet-style quality scoring with a bigram LM trained ON the corpus
+    itself: two streaming passes, train then score.
+
+    The reference scores text against a *pretrained* KenLM model
+    (north-star "perplexity scoring"); CCNet-style curation additionally
+    trains the count model on the corpus being filtered so outlier docs
+    surface as high NLL.  Distributed shape:
+
+    1. TRAIN — per-batch bigram value-counts (the combiner: each batch
+       contributes one skinny (bigram, cnt) table, never raw tokens) ->
+       hash-partition combine -> the finished model is pulled to the
+       driver.  Pulling the MODEL (O(vocabulary²-observed), megabytes) is
+       the standard LM contract — the corpus itself never materializes.
+    2. SCORE — per-bigram additive-smoothed log-probs broadcast once via
+       ``ray.put``; each batch re-tokenizes its rows and looks its bigrams
+       up in the shared map (every bigram is present by construction — the
+       model was trained on this corpus).  No shuffle: a doc lives wholly
+       in its batch row, so the per-doc mean is one ``np.add.reduceat``.
+
+    log P(w2|w1) = ln((c(w1 w2)+a) / (c(w1 .)+a*V)), V = |distinct w2|.
+    Output: (id, n_bigrams, nll_micro_nats) for every doc with >= 2
+    tokens, int64-exact for the DuckDB oracle (micro-nat quantization,
+    half-up — positive NLL so FLOOR(x*1e6+0.5) on both sides).
+
+    Reference parity: models/perplexity.py applies the same additive-
+    smoothing arithmetic to its char-trigram LUT (reference rule scoring:
+    core/validators.py's scored-rule pattern).
+    """
+    import re as _re
+
+    from .combine import combine_partials
+
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def bigram_partial(t: pa.Table) -> pd.DataFrame:
+        grams: list[str] = []
+        for s in t[text_col].combine_chunks().fill_null("").to_pylist():
+            w = tok_re.findall(s.lower())
+            grams.extend(map(" ".join, zip(w, w[1:])))
+        vc = pd.Series(grams, dtype=object).value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    model = combine_partials(
+        ds.select_columns([text_col]).map_batches(bigram_partial, batch_format="pyarrow"),
+        keys=["bigram"],
+        sums=["cnt"],
+    ).to_pandas()
+
+    split = model["bigram"].str.split(" ", n=1, expand=True)
+    ctx = split[0].map(model.groupby(split[0])["cnt"].sum())  # c(w1 .) per row
+    n_vocab = float(split[1].nunique())
+    lp = np.log(
+        (model["cnt"].to_numpy(np.float64) + alpha)
+        / (ctx.to_numpy(np.float64) + alpha * n_vocab)
+    )
+    lp_ref = ray.put(dict(zip(model["bigram"], lp)))
+
+    def score(t: pa.Table) -> pa.Table:
+        lpmap = ray.get(lp_ref)
+        texts = t[text_col].combine_chunks().fill_null("").to_pylist()
+        grams: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            w = tok_re.findall(s.lower())
+            counts[i] = max(len(w) - 1, 0)
+            grams.extend(map(" ".join, zip(w, w[1:])))
+        vals = pd.Series(grams, dtype=object).map(lpmap).to_numpy(np.float64)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        keep = counts > 0
+        sums = np.add.reduceat(vals, offsets[keep]) if keep.any() else np.empty(0)
+        nll = -sums / counts[keep]
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                "n_bigrams": pa.array(counts[keep]),
+                "nll_micro_nats": pa.array(quant.quantize_i64(nll, 1e6)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")

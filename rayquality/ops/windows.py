@@ -656,3 +656,53 @@ def grouped_hash_sample(
         .groupby("pkey")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def event_paths(
+    events: rd.Dataset, max_events: int = 50, n_parts: int = 64
+) -> rd.Dataset:
+    """Per-user ordered event-type path (``a>b>c``), the journey-mining
+    primitive behind funnel discovery / markov-chain attribution.
+
+    Hash-partitioned by user; each partition sorts once by
+    (user, ts, event_id — a total order, so ties are deterministic) and
+    builds every path with ONE pandas groupby-join (the join is per user,
+    but it only concatenates the user's own, ``max_events``-capped
+    tokens — the output string is the work product, not overhead).
+    ``max_events`` bounds the path length so one hyperactive user cannot
+    produce an unbounded row (skew guard; count is still exact).
+
+    -> lazy Dataset (user_id, n_events, path), O(users) rows.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((uid % n_parts).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "path": pd.Series([], dtype=object),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        counts = g.groupby("user_id", sort=True)["event_type"].size()
+        capped = g.groupby("user_id", sort=True, as_index=False).head(max_events)
+        paths = capped.groupby("user_id", sort=True)["event_type"].agg(">".join)
+        return pd.DataFrame(
+            {
+                "user_id": counts.index.to_numpy(np.int64),
+                "n_events": counts.to_numpy(np.int64),
+                "path": paths.to_numpy(object),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_type", "event_id"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -1,0 +1,134 @@
+"""Tests for the session-6 operator batch: corpus-trained bigram LM NLL
+(CCNet-style self-scoring) and per-user ordered event paths."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _naive_bigram_nll(texts: dict[int, str], alpha: float = 0.1) -> pd.DataFrame:
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    grams: dict[int, list[tuple[str, str]]] = {}
+    c2: dict[tuple[str, str], int] = {}
+    for i, s in texts.items():
+        w = tok.findall((s or "").lower())
+        g = list(zip(w, w[1:]))
+        grams[i] = g
+        for b in g:
+            c2[b] = c2.get(b, 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    vocab = len({b for _, b in c2})
+    rows = []
+    for i, g in grams.items():
+        if not g:
+            continue
+        lps = [math.log((c2[b] + alpha) / (c1[b[0]] + alpha * vocab)) for b in g]
+        nll = -sum(lps) / len(lps)
+        rows.append((i, len(g), int(np.floor(nll * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "nll_micro_nats"])
+
+
+def test_corpus_bigram_nll_naive_parity(rd):
+    from rayquality.ops.text import corpus_bigram_nll
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    got = (
+        corpus_bigram_nll(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    want = (
+        _naive_bigram_nll(dict(zip(pdf["doc_id"], pdf["text"])))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_bigrams"].to_numpy() == want["n_bigrams"].to_numpy()).all()
+    # float-sum order may differ by ulps; micro-nat values must agree exactly
+    # or (pathologically) by one quantum at a rounding boundary
+    diff = np.abs(got["nll_micro_nats"].to_numpy() - want["nll_micro_nats"].to_numpy())
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+
+def test_corpus_bigram_nll_outlier_scores_high(rd):
+    # a doc repeating the corpus's most common pattern scores LOWER NLL
+    # than line noise that shares no bigrams with anything else
+    common = pd.DataFrame(
+        {"doc_id": np.arange(20), "text": ["the cat sat on the mat"] * 19 + ["zq xv jk wp qz vx"]}
+    )
+    ds = rd.from_pandas(common)
+    got = corpus_nll_sorted(ds)
+    noise = got.loc[got["doc_id"] == 19, "nll_micro_nats"].iloc[0]
+    typical = got.loc[got["doc_id"] == 0, "nll_micro_nats"].iloc[0]
+    assert noise > typical
+
+
+def corpus_nll_sorted(ds):
+    from rayquality.ops.text import corpus_bigram_nll
+
+    return corpus_bigram_nll(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_corpus_bigram_nll_skips_short_docs(rd):
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one", "", "two words here"]})
+    got = corpus_nll_sorted(rd.from_pandas(df))
+    assert got["doc_id"].tolist() == [3]
+    assert got["n_bigrams"].tolist() == [2]
+
+
+def test_event_paths_naive_parity(rd):
+    from rayquality.ops.windows import event_paths
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = event_paths(ev).to_pandas().sort_values("user_id").reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="stable"
+    )
+    counts = pdf.groupby("user_id")["event_type"].size()
+    paths = pdf.groupby("user_id").head(50).groupby("user_id")["event_type"].agg(">".join)
+    assert got["user_id"].tolist() == counts.index.tolist()
+    assert got["n_events"].tolist() == counts.tolist()
+    assert got["path"].tolist() == paths.tolist()
+
+
+def test_event_paths_cap_and_order(rd):
+    ts = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [7] * 4 + [8],
+            "ts": [ts, ts, ts + pd.Timedelta("1s"), ts + pd.Timedelta("2s"), ts],
+            "event_type": ["b", "a", "c", "d", "x"],
+            "event_id": [2, 1, 3, 4, 5],
+        }
+    )
+    from rayquality.ops.windows import event_paths
+
+    got = (
+        event_paths(rd.from_pandas(df), max_events=3)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # ts tie broken by event_id: a(1) before b(2); cap keeps 3 of 4 events
+    assert got.loc[0, "path"] == "a>b>c"
+    assert got.loc[0, "n_events"] == 4
+    assert got.loc[1, "path"] == "x"
