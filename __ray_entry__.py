@@ -1308,6 +1308,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = windows.event_paths(ev).to_pandas()
         return out.sort_values("user_id").reset_index(drop=True)
 
+    def hourly_anomalies_events(sf):
+        from rayquality.ops import profile
+
+        (ev,) = _tables(sf, "events")
+        return profile.hourly_anomalies(ev)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1479,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_events_orders": join_cardinality_events_orders,
         "corpus_bigram_nll_documents": corpus_bigram_nll_documents,
         "event_paths_users": event_paths_users,
+        "hourly_anomalies_events": hourly_anomalies_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2264,6 +2271,27 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events GROUP BY user_id) "
             "SELECT c.user_id, c.n_events, p.path "
             "FROM c JOIN p USING (user_id) ORDER BY c.user_id"
+        ),
+        "hourly_anomalies_events": (
+            "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "  COUNT(*) AS n FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), "
+            "b AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour "
+            "  FROM (SELECT min(hour) AS mn, max(hour) AS mx FROM c)), "
+            "t AS (SELECT DISTINCT event_type FROM c), "
+            "d AS (SELECT t.event_type, b.hour, COALESCE(c.n, 0) AS cnt "
+            "  FROM t CROSS JOIN b LEFT JOIN c "
+            "  ON c.event_type = t.event_type AND c.hour = b.hour), "
+            "w AS (SELECT event_type, hour, cnt, "
+            "  SUM(cnt) OVER win AS s1, SUM(cnt * cnt) OVER win AS s2, "
+            "  COUNT(*) OVER win AS nw FROM d WINDOW win AS "
+            "  (PARTITION BY event_type ORDER BY hour "
+            "   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, hour, CAST(cnt AS BIGINT) AS n_events, "
+            "CAST(FLOOR(1e6 * ((cnt - CAST(s1 AS DOUBLE) / 24) / "
+            "  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24) "
+            "  / 23)) + 0.5) AS BIGINT) AS z_micro "
+            "FROM w WHERE nw = 24 AND 24 * s2 > s1 * s1 "
+            "ORDER BY event_type, hour"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

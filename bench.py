@@ -142,6 +142,9 @@ def run_bench() -> dict:
         "activity_islands_events",
         "boilerplate_lines_documents",
         "char_stats_documents",
+        "corpus_bigram_nll_documents",
+        "event_paths_users",
+        "hourly_anomalies_events",
     ):
         t = time.time()
         res = qs[name](sf_dir)

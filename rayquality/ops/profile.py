@@ -501,3 +501,62 @@ def join_cardinality(
             "n_keys_common": [np.int64(parts["n_keys_common"].sum())],
         }
     )
+
+
+def hourly_anomalies(
+    events: "rd.Dataset",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window: int = 24,
+) -> pd.DataFrame:
+    """Rolling z-score anomaly detection over dense hourly event counts —
+    the monitoring primitive behind "this hour's traffic is 5 sigma off
+    its trailing day" alerts.
+
+    Counts come from :func:`rayquality.ops.relational.resample_hourly_counts`
+    (distributed combiner + skinny combine, dense zero-filled grid — a
+    silent hour IS an anomaly). The bucket table is O(|types| x |hours|)
+    — aggregate-sized by construction, the same contract as resample /
+    histogram — so the rolling pass runs vectorized on it directly: one
+    cumsum pair per type gives every trailing-``window`` sum s1 and
+    square-sum s2 exactly in int64, and the variance>0 guard is the
+    integer test ``window*s2 > s1*s1`` (no float epsilon, so the engine
+    and the DuckDB oracle select exactly the same rows).
+
+    z = (cnt - s1/W) / sqrt((s2 - s1^2/W)/(W-1)), half-up micro-quantized
+    (the slope/corr idiom). Rows with a partial window are excluded.
+
+    Output: (event_type, hour, n_events, z_micro) for full-window,
+    positive-variance buckets.
+    """
+    from .relational import resample_hourly_counts
+
+    dense = resample_hourly_counts(events, type_col, ts_col)
+    w = float(window)
+    parts = []
+    for typ, g in dense.groupby(type_col, sort=True):  # |types| iterations
+        c = g["n_events"].to_numpy(np.int64)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        cs2 = np.concatenate([[0], np.cumsum(c * c)])
+        i = np.arange(len(c))
+        lo = i - window
+        s1 = cs[i] - cs[np.maximum(lo, 0)]
+        s2 = cs2[i] - cs2[np.maximum(lo, 0)]
+        ok = (lo >= 0) & (window * s2 > s1 * s1)
+        s1f = s1[ok].astype(np.float64)
+        s2f = s2[ok].astype(np.float64)
+        z = (c[ok] - s1f / w) / np.sqrt((s2f - s1f * s1f / w) / (w - 1.0))
+        parts.append(
+            pd.DataFrame(
+                {
+                    type_col: typ,
+                    "hour": g["hour"].to_numpy()[ok],
+                    "n_events": c[ok],
+                    "z_micro": np.floor(z * 1e6 + 0.5).astype(np.int64),
+                }
+            )
+        )
+    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=[type_col, "hour", "n_events", "z_micro"]
+    )
+    return out.sort_values([type_col, "hour"]).reset_index(drop=True)

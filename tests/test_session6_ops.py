@@ -1,5 +1,6 @@
 """Tests for the session-6 operator batch: corpus-trained bigram LM NLL
-(CCNet-style self-scoring) and per-user ordered event paths."""
+(CCNet-style self-scoring), per-user ordered event paths, and rolling
+z-score hourly anomaly detection."""
 
 import math
 
@@ -132,3 +133,53 @@ def test_event_paths_cap_and_order(rd):
     assert got.loc[0, "path"] == "a>b>c"
     assert got.loc[0, "n_events"] == 4
     assert got.loc[1, "path"] == "x"
+
+
+def test_hourly_anomalies_naive_parity(rd):
+    from rayquality.ops.profile import hourly_anomalies
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = hourly_anomalies(ev)
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf[pdf["event_type"].notna()]
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    hours = pd.date_range(pdf["hour"].min(), pdf["hour"].max(), freq="h")
+    rows = []
+    for typ in sorted(pdf["event_type"].unique()):
+        cnt = (
+            pdf[pdf["event_type"] == typ].groupby("hour").size().reindex(hours, fill_value=0)
+        )
+        roll = cnt.rolling(24)
+        s1 = roll.sum().shift(1)
+        s2 = (cnt**2).rolling(24).sum().shift(1)
+        for i in range(24, len(cnt)):
+            a, b = s1.iloc[i], s2.iloc[i]
+            if 24 * b <= a * a:
+                continue
+            z = (cnt.iloc[i] - a / 24.0) / np.sqrt((b - a * a / 24.0) / 23.0)
+            rows.append((typ, hours[i], int(cnt.iloc[i]), int(np.floor(z * 1e6 + 0.5))))
+    want = pd.DataFrame(rows, columns=["event_type", "hour", "n_events", "z_micro"])
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.abs(got["z_micro"].to_numpy() - want["z_micro"].to_numpy()).max() <= 1
+
+
+def test_hourly_anomalies_flags_spike(rd):
+    # 48 calm hours then one 100x spike: the spike hour carries the max z
+    ts = pd.date_range("2024-01-01", periods=49, freq="h")
+    counts = [5, 6] * 24 + [500]
+    rows = []
+    eid = 0
+    for t, c in zip(ts, counts):
+        for _ in range(c):
+            rows.append((eid, t, 1, "click", 1.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    from rayquality.ops.profile import hourly_anomalies
+
+    got = hourly_anomalies(rd.from_pandas(df))
+    top = got.loc[got["z_micro"].idxmax()]
+    assert top["hour"] == ts[-1]
+    assert top["z_micro"] > 100 * 1e6  # ~989 sigma against a 0.5-sd baseline
