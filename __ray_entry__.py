@@ -1314,6 +1314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (ev,) = _tables(sf, "events")
         return profile.hourly_anomalies(ev)
 
+    def dup_rate_by_source_documents(sf):
+        (docs,) = _tables(sf, "documents")
+        return textdedup.dup_rate_by_source(docs)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1486,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bigram_nll_documents": corpus_bigram_nll_documents,
         "event_paths_users": event_paths_users,
         "hourly_anomalies_events": hourly_anomalies_events,
+        "dup_rate_by_source_documents": dup_rate_by_source_documents,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2292,6 +2297,13 @@ def oracle_sql() -> dict[str, str]:
             "  / 23)) + 0.5) AS BIGINT) AS z_micro "
             "FROM w WHERE nw = 24 AND 24 * s2 > s1 * s1 "
             "ORDER BY event_type, hour"
+        ),
+        "dup_rate_by_source_documents": (
+            "WITH d AS (SELECT source, "
+            "  COUNT(*) OVER (PARTITION BY COALESCE(text, '')) AS c FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs "
+            "FROM d GROUP BY source ORDER BY source"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

@@ -145,6 +145,7 @@ def run_bench() -> dict:
         "corpus_bigram_nll_documents",
         "event_paths_users",
         "hourly_anomalies_events",
+        "dup_rate_by_source_documents",
     ):
         t = time.time()
         res = qs[name](sf_dir)

@@ -604,3 +604,79 @@ def normalized_dedup(
         norm, batch_format="pandas"
     )
     return exact_dedup(normed, id_col=id_col, text_col="_norm", n_parts=n_parts)
+
+
+def dup_rate_by_source(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> pd.DataFrame:
+    """Duplicate-rate report per source: how many of each source's docs
+    have a text that occurs more than once ANYWHERE in the corpus — the
+    first table a curation run consults when deciding which feeds to
+    throttle.
+
+    Flagship discipline: pass 1 combines per-batch md5 value-counts into
+    global per-hash counts and broadcasts ONLY the hashes with count > 1
+    (the dup groups — the small side); pass 2 re-hashes each batch, flags
+    membership with one ``np.isin``, and emits per-source (total, dup)
+    partials that combine into the O(|sources|) report. Document bodies
+    never shuffle; the corpus never materializes.
+
+    Output: (source, n_docs, n_dup_docs), int64-exact.
+    """
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        hs = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in t[text_col].to_pylist()
+        ]
+        vc = pd.Series(hs, dtype=object).value_counts()
+        return pd.DataFrame({"h": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
+
+    from .combine import combine_partials
+
+    counts = combine_partials(
+        ds.select_columns([text_col]).map_batches(count_partial, batch_format="pyarrow"),
+        keys=["h"],
+        sums=["cnt"],
+    )
+
+    def only_dups(df: pd.DataFrame) -> pa.Table:
+        # explicit Arrow schema so an all-empty filter result (a corpus
+        # with zero duplicate texts) still reaches the driver typed
+        return pa.table({"h": pa.array(df.loc[df["cnt"] > 1, "h"], type=pa.string())})
+
+    dup_hashes = counts.map_batches(only_dups, batch_format="pandas").to_pandas()
+    dup_arr = (
+        np.sort(dup_hashes["h"].to_numpy(object)) if len(dup_hashes) else np.array([], object)
+    )
+    dup_ref = ray.put(dup_arr)
+
+    def source_partial(t: pa.Table) -> pd.DataFrame:
+        dups = ray.get(dup_ref)
+        hs = np.array(
+            [
+                hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                for s in t[text_col].to_pylist()
+            ],
+            dtype=object,
+        )
+        flag = np.isin(hs, dups)
+        df = pd.DataFrame(
+            {
+                source_col: t[source_col].to_pandas(),
+                "n_docs": np.ones(len(hs), dtype=np.int64),
+                "n_dup_docs": flag.astype(np.int64),
+            }
+        )
+        return df.groupby(source_col, as_index=False)[["n_docs", "n_dup_docs"]].sum()
+
+    out = combine_partials(
+        ds.select_columns([text_col, source_col]).map_batches(
+            source_partial, batch_format="pyarrow"
+        ),
+        keys=[source_col],
+        sums=["n_docs", "n_dup_docs"],
+    ).to_pandas()
+    return out.sort_values(source_col).reset_index(drop=True)

@@ -183,3 +183,31 @@ def test_hourly_anomalies_flags_spike(rd):
     top = got.loc[got["z_micro"].idxmax()]
     assert top["hour"] == ts[-1]
     assert top["z_micro"] > 100 * 1e6  # ~989 sigma against a 0.5-sd baseline
+
+
+def test_dup_rate_by_source_planted(rd):
+    from rayquality.ops.textdedup import dup_rate_by_source
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["same", "same", "uniq1", "same", "uniq2", "pair", "pair", "uniq3"],
+            "source": ["a", "a", "a", "b", "b", "b", "c", "c"],
+        }
+    )
+    got = dup_rate_by_source(rd.from_pandas(df))
+    want = pd.DataFrame(
+        {"source": ["a", "b", "c"], "n_docs": [3, 3, 2], "n_dup_docs": [2, 2, 1]}
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dup_rate_by_source_no_dups(rd):
+    from rayquality.ops.textdedup import dup_rate_by_source
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["x", "y"], "source": ["a", "b"]}
+    )
+    got = dup_rate_by_source(rd.from_pandas(df))
+    assert got["n_dup_docs"].tolist() == [0, 0]
+    assert got["n_docs"].tolist() == [1, 1]
