@@ -434,6 +434,27 @@ def main() -> None:
 
     run("shared_substring_pairs", n_docs, _shared_substr)
 
+    def _bigram_nll():
+        # 100-way replicated corpus: bigram vocab stays the base corpus's
+        # (model size independent of replication), scoring scales with rows
+        return text.corpus_bigram_nll(docs())
+
+    run("corpus_bigram_nll", n_docs, _bigram_nll)
+
+    def _dup_rate():
+        from rayquality.ops import textdedup
+
+        # every text has 100 exact copies -> the dup-hash broadcast is the
+        # FULL distinct-text set (worst case for the small-side contract)
+        return textdedup.dup_rate_by_source(docs())
+
+    run("dup_rate_by_source", n_docs, _dup_rate)
+
+    def _event_paths():
+        return windows.event_paths(events())
+
+    run("event_paths", n_ev, _event_paths)
+
     print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "n_orders": n_ord, "ops": results}))
     ray.shutdown()
 
