@@ -466,14 +466,21 @@ def corpus_bigram_nll(
         keys=["bigram"],
         sums=["cnt"],
     ).to_pandas()
+    if "bigram" not in model.columns:  # no doc had >= 2 tokens: schemaless empty
+        model = pd.DataFrame(
+            {"bigram": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)}
+        )
 
-    split = model["bigram"].str.split(" ", n=1, expand=True)
-    ctx = split[0].map(model.groupby(split[0])["cnt"].sum())  # c(w1 .) per row
-    n_vocab = float(split[1].nunique())
-    lp = np.log(
-        (model["cnt"].to_numpy(np.float64) + alpha)
-        / (ctx.to_numpy(np.float64) + alpha * n_vocab)
-    )
+    if len(model):
+        split = model["bigram"].str.split(" ", n=1, expand=True)
+        ctx = split[0].map(model.groupby(split[0])["cnt"].sum())  # c(w1 .) per row
+        n_vocab = float(split[1].nunique())
+        lp = np.log(
+            (model["cnt"].to_numpy(np.float64) + alpha)
+            / (ctx.to_numpy(np.float64) + alpha * n_vocab)
+        )
+    else:  # score pass keeps no rows (every count is 0), lp map unused
+        lp = np.empty(0)
     lp_ref = ray.put(dict(zip(model["bigram"], lp)))
 
     def score(t: pa.Table) -> pa.Table:

@@ -670,7 +670,8 @@ def dup_rate_by_source(
                 "n_dup_docs": flag.astype(np.int64),
             }
         )
-        return df.groupby(source_col, as_index=False)[["n_docs", "n_dup_docs"]].sum()
+        # dropna=False: a null source is a real group (matches SQL GROUP BY)
+        return df.groupby(source_col, as_index=False, dropna=False)[["n_docs", "n_dup_docs"]].sum()
 
     out = combine_partials(
         ds.select_columns([text_col, source_col]).map_batches(

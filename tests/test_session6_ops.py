@@ -211,3 +211,23 @@ def test_dup_rate_by_source_no_dups(rd):
     got = dup_rate_by_source(rd.from_pandas(df))
     assert got["n_dup_docs"].tolist() == [0, 0]
     assert got["n_docs"].tolist() == [1, 1]
+
+
+def test_corpus_bigram_nll_empty_model(rd):
+    # corpus where no doc reaches 2 tokens: the trained model is empty and
+    # the scorer emits zero rows instead of crashing on a schemaless combine
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["one", ""]})
+    from rayquality.ops.text import corpus_bigram_nll
+
+    assert len(corpus_bigram_nll(rd.from_pandas(df)).to_pandas()) == 0
+
+
+def test_dup_rate_null_source_is_a_group(rd):
+    from rayquality.ops.textdedup import dup_rate_by_source
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["x", "x", "y"], "source": ["a", "a", None]}
+    )
+    got = dup_rate_by_source(rd.from_pandas(df))
+    assert len(got) == 2  # the null source is its own group (SQL GROUP BY)
+    assert got.loc[got["source"] == "a", "n_dup_docs"].iloc[0] == 2
