@@ -1155,6 +1155,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (emb,) = _tables(sf, "embeddings")
         return cluster.kcenter_select(emb, k=8)
 
+    def range_sorted_write_orders(sf):
+        import shutil as _sh
+
+        from rayquality.ops import sink
+
+        (od,) = _tables(sf, "orders")
+        out = f"/tmp/rayquality_rangesort/{_sf_of(sf)}"
+        _sh.rmtree(out, ignore_errors=True)
+        return sink.write_range_sorted(od, "o_orderkey", out, n_ranges=16)
+
     def pq_search_embeddings(sf):
         import pandas as pd
 
@@ -1512,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_events": pagerank_events,
         "approx_distinct_per_type_events": approx_distinct_per_type_events,
         "pq_search_embeddings": pq_search_embeddings,
+        "range_sorted_write_orders": range_sorted_write_orders,
     }
 
 

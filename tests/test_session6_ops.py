@@ -231,3 +231,45 @@ def test_dup_rate_null_source_is_a_group(rd):
     got = dup_rate_by_source(rd.from_pandas(df))
     assert len(got) == 2  # the null source is its own group (SQL GROUP BY)
     assert got.loc[got["source"] == "a", "n_dup_docs"].iloc[0] == 2
+
+
+def test_write_range_sorted_global_order(rd, tmp_path):
+    from rayquality.ops.sink import write_range_sorted
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 1_000_000, 20_000), "payload": np.arange(20_000)}
+    )
+    out = str(tmp_path / "sorted")
+    man = write_range_sorted(rd.from_pandas(df), "k", out, n_ranges=8)
+    # manifest covers every row, ranges are disjoint and ordered
+    assert man["n_rows"].sum() == len(df)
+    assert (man["min_key"] <= man["max_key"]).all()
+    assert (man["max_key"].to_numpy()[:-1] <= man["min_key"].to_numpy()[1:]).all()
+    # reading range dirs in lexical order yields a globally sorted corpus
+    import glob as g
+
+    ks = []
+    for d in sorted(g.glob(out + "/range=*")):
+        part = pd.concat([pd.read_parquet(f) for f in sorted(g.glob(d + "/*.parquet"))])
+        ks.append(part["k"].to_numpy())
+        assert (np.diff(part["k"].to_numpy()) >= 0).all()  # within-range sorted
+    allk = np.concatenate(ks)
+    assert len(allk) == len(df)
+    assert (np.diff(allk) >= 0).all()
+    assert sorted(allk.tolist()) == sorted(df["k"].tolist())
+
+
+def test_write_range_sorted_retry_idempotent(rd, tmp_path):
+    from rayquality.ops.sink import write_range_sorted
+
+    df = pd.DataFrame({"k": np.arange(1000), "v": np.arange(1000)})
+    out = str(tmp_path / "twice")
+    write_range_sorted(rd.from_pandas(df), "k", out, n_ranges=4)
+    write_range_sorted(rd.from_pandas(df), "k", out, n_ranges=4)  # simulated retry
+    import glob as g
+
+    total = sum(
+        len(pd.read_parquet(f)) for f in g.glob(out + "/range=*/*.parquet")
+    )
+    assert total == 1000  # content-hash filenames: rerun overwrites, never duplicates
