@@ -1328,6 +1328,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (docs,) = _tables(sf, "documents")
         return textdedup.dup_rate_by_source(docs)
 
+    def event_transitions_users(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        return windows.event_transitions(ev)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1501,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths_users": event_paths_users,
         "hourly_anomalies_events": hourly_anomalies_events,
         "dup_rate_by_source_documents": dup_rate_by_source_documents,
+        "event_transitions_users": event_transitions_users,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2315,6 +2322,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs "
             "FROM d GROUP BY source ORDER BY source"
+        ),
+        "event_transitions_users": (
+            "WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM o WHERE prev IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

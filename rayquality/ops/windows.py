@@ -706,3 +706,56 @@ def event_paths(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def event_transitions(events: rd.Dataset, n_parts: int = 64) -> pd.DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the matrix behind journey attribution / next-event
+    prediction baselines.
+
+    Same partitioning as :func:`event_paths` (a user lives wholly in one
+    user-hash partition): each partition sorts once by (user, ts,
+    event_id), shifts the type column, masks the first row of every user,
+    and counts (from, to) pairs vectorized. Partitions emit O(|types|²)
+    partials that sum on the driver — the output is a transition matrix,
+    aggregate-sized by construction.
+
+    Output: (from_type, to_type, n), int64-exact.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((uid % n_parts).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype=object),
+                    "to_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(object)
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame(
+            {"from_type": np.roll(et, 1)[same], "to_type": et[same]}
+        )
+        out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = (
+        events.select_columns(["user_id", "ts", "event_type", "event_id"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return parts
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)

@@ -273,3 +273,42 @@ def test_write_range_sorted_retry_idempotent(rd, tmp_path):
         len(pd.read_parquet(f)) for f in g.glob(out + "/range=*/*.parquet")
     )
     assert total == 1000  # content-hash filenames: rerun overwrites, never duplicates
+
+
+def test_event_transitions_naive_parity(rd):
+    from rayquality.ops.windows import event_transitions
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = event_transitions(ev)
+    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="stable"
+    )
+    prev = pdf.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"from_type": prev, "to_type": pdf["event_type"]}).dropna(
+        subset=["from_type"]
+    )
+    want = (
+        pairs.groupby(["from_type", "to_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"n": np.int64}))
+
+
+def test_event_transitions_single_user_chain(rd):
+    ts0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": [ts0, ts0 + pd.Timedelta("1s"), ts0 + pd.Timedelta("2s"), ts0],
+            "event_type": ["a", "b", "a", "z"],
+            "event_id": [1, 2, 3, 4],
+        }
+    )
+    from rayquality.ops.windows import event_transitions
+
+    got = event_transitions(rd.from_pandas(df))
+    # user 1: a->b, b->a; user 2: no transition; never a cross-user pair
+    assert got.values.tolist() == [["a", "b", 1], ["b", "a", 1]]
