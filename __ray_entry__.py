@@ -1334,6 +1334,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (ev,) = _tables(sf, "events")
         return windows.event_transitions(ev)
 
+    def percent_rank_orders(sf):
+        from rayquality.ops import analytic
+
+        (od,) = _tables(sf, "orders")
+        out = analytic.percent_rank_global(od, "o_orderkey", "o_totalprice").to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1508,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies_events": hourly_anomalies_events,
         "dup_rate_by_source_documents": dup_rate_by_source_documents,
         "event_transitions_users": event_transitions_users,
+        "percent_rank_orders": percent_rank_orders,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2329,6 +2337,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS from_type, event_type AS to_type, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM o WHERE prev IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "percent_rank_orders": (
+            "WITH r AS (SELECT o_orderkey, "
+            "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS value_cents FROM orders) "
+            "SELECT o_orderkey, value_cents, "
+            "CAST(FLOOR(1e6 * PERCENT_RANK() OVER (ORDER BY value_cents) + 0.5) "
+            "  AS BIGINT) AS pct_micro "
+            "FROM r ORDER BY o_orderkey"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

@@ -22,6 +22,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from . import combine as _combine
@@ -632,3 +633,65 @@ def growth_accounting(
     per_day = per_day.sort_values("day").reset_index(drop=True)
     per_day["cum_users"] = per_day["new_users"].cumsum().astype(np.int64)
     return per_day
+
+
+def percent_rank_global(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Global percent-rank of a money column without a global sort — the
+    rank-normalization feature transform (percent_rank is the first step
+    of rank-gaussian scaling) as two streaming passes.
+
+    1. cents-quantized value-counts per batch (combiner) -> one skinny
+       hash combine -> the distinct-value histogram lands on the driver.
+       Same bounded-cardinality contract as exact_quantiles: the histogram
+       is O(distinct cents values), not O(rows) — raise the quantization
+       unit if a column is pathologically high-cardinality.
+    2. the sorted values + strictly-less cumulative counts broadcast via
+       ``ray.put``; each batch ``searchsorted``s its values and emits
+       pct = less/(n-1) — exactly DuckDB's PERCENT_RANK arithmetic
+       ((rank-1)/(n-1) with rank = 1 + |strictly less|) over exactly the
+       same integers, so the micro-quantized result is hash-identical.
+
+    -> lazy Dataset (key, value_cents, pct_micro); O(rows) output streams.
+    """
+    from . import quant
+    from .combine import combine_partials
+
+    def vc_partial(t: pa.Table) -> pd.DataFrame:
+        v = quant.quantize_i64(t[value_col].to_numpy(zero_copy_only=False), 100.0)
+        vc = pd.Series(v).value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    hist = combine_partials(
+        ds.select_columns([value_col]).map_batches(vc_partial, batch_format="pyarrow"),
+        keys=["v"],
+        sums=["cnt"],
+        n_parts=n_parts,
+    ).to_pandas().sort_values("v")
+
+    values = hist["v"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    less = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # rows strictly below v
+    n_total = int(cnts.sum())
+    model_ref = ray.put((values, less, n_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        vals, lt, n = ray.get(model_ref)
+        v = quant.quantize_i64(t[value_col].to_numpy(zero_copy_only=False), 100.0)
+        idx = np.searchsorted(vals, v)
+        pct = lt[idx].astype(np.float64) / float(n - 1) if n > 1 else np.zeros(len(v))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "value_cents": pa.array(v),
+                "pct_micro": pa.array(np.floor(pct * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([key_col, value_col]).map_batches(score, batch_format="pyarrow")

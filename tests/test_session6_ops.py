@@ -312,3 +312,43 @@ def test_event_transitions_single_user_chain(rd):
     got = event_transitions(rd.from_pandas(df))
     # user 1: a->b, b->a; user 2: no transition; never a cross-user pair
     assert got.values.tolist() == [["a", "b", 1], ["b", "a", 1]]
+
+
+def test_percent_rank_naive_parity(rd):
+    from rayquality.ops.analytic import percent_rank_global
+
+    od = rd.read_parquet(f"{SF}/orders.parquet")
+    got = (
+        percent_rank_global(od, "o_orderkey", "o_totalprice")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    v = np.floor(np.abs(pdf["o_totalprice"].to_numpy()) * 100 + 0.5).astype(np.int64)
+    v *= np.sign(pdf["o_totalprice"].to_numpy()).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    less = np.empty(len(v), np.int64)
+    sv = v[order]
+    # rows strictly below each value
+    first_idx = np.searchsorted(sv, sv, side="left")
+    less[order] = first_idx
+    want_pct = np.floor(less / (len(v) - 1) * 1e6 + 0.5).astype(np.int64)
+    want = pd.DataFrame(
+        {"o_orderkey": pdf["o_orderkey"], "value_cents": v, "pct_micro": want_pct}
+    ).sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_percent_rank_ties_share_rank(rd):
+    from rayquality.ops.analytic import percent_rank_global
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4, 5], "val": [1.0, 1.0, 2.0, 3.0, 3.0]})
+    got = (
+        percent_rank_global(rd.from_pandas(df), "k", "val")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # PERCENT_RANK: ties share (rank-1)/(n-1); n=5 -> 0, 0, .5, .75, .75
+    assert got["pct_micro"].tolist() == [0, 0, 500000, 750000, 750000]
