@@ -1341,6 +1341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = analytic.percent_rank_global(od, "o_orderkey", "o_totalprice").to_pandas()
         return out.sort_values("o_orderkey").reset_index(drop=True)
 
+    def freshness_by_type_events(sf):
+        (ev,) = _tables(sf, "events")
+        return validators.freshness(ev)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1516,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source_documents": dup_rate_by_source_documents,
         "event_transitions_users": event_transitions_users,
         "percent_rank_orders": percent_rank_orders,
+        "freshness_by_type_events": freshness_by_type_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2345,6 +2350,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(1e6 * PERCENT_RANK() OVER (ORDER BY value_cents) + 0.5) "
             "  AS BIGINT) AS pct_micro "
             "FROM r ORDER BY o_orderkey"
+        ),
+        "freshness_by_type_events": (
+            "WITH g AS (SELECT event_type, MAX(ts) AS latest, "
+            "  CAST(COUNT(*) AS BIGINT) AS n_rows FROM events "
+            "  WHERE event_type IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT MAX(latest) AS global_latest FROM g) "
+            "SELECT event_type, latest, n_rows, "
+            "CAST(date_diff('microsecond', latest, global_latest) AS BIGINT) AS lag_us "
+            "FROM g CROSS JOIN m ORDER BY event_type"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

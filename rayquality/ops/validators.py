@@ -655,3 +655,48 @@ def temporal_consistency(
 
     parts = j.map_batches(count, batch_format="pyarrow").to_pandas()
     return pd.DataFrame({c: [np.int64(parts[c].sum())] for c in parts.columns})
+
+
+def freshness(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Freshness check: per group, the latest timestamp and its lag behind
+    the table's global latest — the classic data-quality dimension the
+    reference's validator suite stops short of (its temporal checks stop at
+    row-level consistency; freshness asks "which feeds have gone quiet").
+
+    One combiner pass: per-batch (group, max ts, count) partials combine
+    with a skinny hash shuffle (max+sum); the O(|groups|) result computes
+    lags on the driver. Null groups are excluded (a null feed name is a
+    completeness problem, not a freshness one).
+
+    Output: (group, latest, n_rows, lag_us), int64-exact microsecond lag.
+    """
+    import pyarrow.compute as pc
+
+    from .combine import combine_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        g = t.group_by(group_col).aggregate([(ts_col, "max"), ([], "count_all")])
+        return g.rename_columns([group_col, "latest", "n_rows"])
+
+    out = combine_partials(
+        ds.select_columns([group_col, ts_col]).map_batches(partial, batch_format="pyarrow"),
+        keys=[group_col],
+        sums=["n_rows"],
+        maxs=["latest"],
+    ).to_pandas()
+    out["latest"] = out["latest"].astype("datetime64[us]")
+    global_latest = out["latest"].max()
+    # exact integer microseconds: DuckDB's date_diff('second') counts
+    # boundary crossings, which is not floor(delta) — microseconds avoid
+    # the semantic mismatch entirely
+    out["lag_us"] = (global_latest - out["latest"]).to_numpy("timedelta64[us]").astype(np.int64)
+    return (
+        out[[group_col, "latest", "n_rows", "lag_us"]]
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )

@@ -352,3 +352,25 @@ def test_percent_rank_ties_share_rank(rd):
     )
     # PERCENT_RANK: ties share (rank-1)/(n-1); n=5 -> 0, 0, .5, .75, .75
     assert got["pct_micro"].tolist() == [0, 0, 500000, 750000, 750000]
+
+
+def test_freshness_naive_parity(rd):
+    from rayquality.ops.validators import freshness
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = freshness(ev)
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf[pdf["event_type"].notna()]
+    want = (
+        pdf.groupby("event_type")
+        .agg(latest=("ts", "max"), n_rows=("ts", "size"))
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want["lag_us"] = (
+        (want["latest"].max() - want["latest"]).to_numpy("timedelta64[us]").astype(np.int64)
+    )
+    want["n_rows"] = want["n_rows"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["lag_us"] == 0).any()  # the globally freshest group lags zero
