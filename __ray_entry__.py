@@ -1345,6 +1345,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (ev,) = _tables(sf, "events")
         return validators.freshness(ev)
 
+    def gap_quantiles_by_type_events(sf):
+        from rayquality.ops import sketch, windows
+
+        (ev,) = _tables(sf, "events")
+        gaps = windows.inter_event_gaps(ev)
+        out = sketch.grouped_quantiles(gaps, "event_type", "gap_s", [0.5, 0.9])
+        return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
     def approx_distinct_per_type_events(sf):
         from rayquality.ops import sketch
 
@@ -1521,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions_users": event_transitions_users,
         "percent_rank_orders": percent_rank_orders,
         "freshness_by_type_events": freshness_by_type_events,
+        "gap_quantiles_by_type_events": gap_quantiles_by_type_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2359,6 +2368,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, latest, n_rows, "
             "CAST(date_diff('microsecond', latest, global_latest) AS BIGINT) AS lag_us "
             "FROM g CROSS JOIN m ORDER BY event_type"
+        ),
+        "gap_quantiles_by_type_events": (
+            "WITH o AS (SELECT user_id, event_type, ts, "
+            "  LAG(ts) OVER (PARTITION BY user_id, event_type "
+            "  ORDER BY ts, event_id) AS prev FROM events "
+            "  WHERE event_type IS NOT NULL), "
+            "g AS (SELECT event_type, "
+            "  date_diff('microsecond', prev, ts) // 1000000 AS gap_s "
+            "  FROM o WHERE prev IS NOT NULL), "
+            "a AS (SELECT event_type, quantile_disc(gap_s, [0.5, 0.9]) AS vs "
+            "  FROM g GROUP BY 1) "
+            "SELECT event_type, unnest([0.5, 0.9]) AS q, unnest(vs) AS value "
+            "FROM a ORDER BY event_type, q"
         ),
         "growth_accounting_events": (
             "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 "

@@ -759,3 +759,53 @@ def event_transitions(events: rd.Dataset, n_parts: int = 64) -> pd.DataFrame:
         return parts
     out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def inter_event_gaps(events: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+    """Seconds between consecutive SAME-TYPE events of the SAME user ->
+    lazy Dataset (event_type, gap_s) — the raw material for cadence
+    profiling (feed :func:`rayquality.ops.sketch.grouped_quantiles` for
+    per-type median/p90 gaps).
+
+    User-hash partitions sort once by (user, type, ts, event_id) and diff
+    consecutive rows that share (user, type) — exactly SQL's ``LAG(ts)
+    OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)``.
+    Gaps quantize to whole seconds (floor), which both keeps the
+    downstream value-counts quantile contract bounded and is exact
+    integer arithmetic on both engine and oracle sides. Null event types
+    are excluded (the resample/freshness convention).
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t["event_type"]))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((uid % n_parts).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "gap_s": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(object)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gap_us = ts - np.roll(ts, 1)
+        return pd.DataFrame(
+            {"event_type": et[same], "gap_s": gap_us[same] // 1_000_000}
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_type", "event_id"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -374,3 +374,31 @@ def test_freshness_naive_parity(rd):
     want["n_rows"] = want["n_rows"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
     assert (got["lag_us"] == 0).any()  # the globally freshest group lags zero
+
+
+def test_inter_event_gaps_naive_parity(rd):
+    from rayquality.ops.windows import inter_event_gaps
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        inter_event_gaps(ev)
+        .to_pandas()
+        .sort_values(["event_type", "gap_s"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf[pdf["event_type"].notna()].sort_values(
+        ["user_id", "event_type", "ts", "event_id"], kind="stable"
+    )
+    prev = pdf.groupby(["user_id", "event_type"])["ts"].shift(1)
+    mask = prev.notna()
+    gaps = (
+        (pdf["ts"][mask] - prev[mask]).to_numpy("timedelta64[us]").astype(np.int64)
+        // 1_000_000
+    )
+    want = (
+        pd.DataFrame({"event_type": pdf["event_type"][mask], "gap_s": gaps})
+        .sort_values(["event_type", "gap_s"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
