@@ -56,6 +56,18 @@ def entry() -> Any:
     return rd.read_parquet(sorted(glob.glob(os.path.join(summary["final_dir"], "*.parquet"))))
 
 
+def _q_phash_radius(sf_dir: str) -> Any:
+    """Near-dup retrieval: corpus images within 8 phash bits of 5 queries."""
+    import glob
+
+    from rayquality.ops.image import phash_radius_search
+
+    corpus = _images_corpus(sf_dir)
+    ds = rd.read_parquet(sorted(glob.glob(corpus + "/*.parquet")))
+    qids = sorted(ds.select_columns(["image_id"]).limit(5).to_pandas()["image_id"])
+    return phash_radius_search(ds, qids, max_hamming=8)
+
+
 def _q_quality_filter(sf_dir: str) -> Any:
     import glob
 
@@ -1546,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_images_sample": augment_images_sample,
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,
+        "phash_radius_images": _q_phash_radius,
         "shared_substring_pairs_documents": shared_substring_pairs_documents,
         "kcenter_embeddings": kcenter_embeddings,
         "pagerank_events": pagerank_events,

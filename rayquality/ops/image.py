@@ -213,3 +213,57 @@ class VideoFrameSampler:
         raise NotImplementedError(
             "video demuxing requires a codec library (none available offline)"
         )
+
+
+def phash_radius_search(
+    ds: rd.Dataset,
+    query_ids: list[str],
+    max_hamming: int = 8,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> "pd.DataFrame":
+    """Near-duplicate RETRIEVAL: every corpus image within ``max_hamming``
+    bits of each query image's perceptual hash — dedup machinery turned
+    into a lookup ("find the other crops/re-encodes of these images").
+
+    Shuffle-free: the K query hashes collect once (a filtered id lookup,
+    O(K)), broadcast in the batch closure, and every batch XOR+popcounts
+    its rows against all K queries vectorized ((rows x K) uint64 -> one
+    ``unpackbits`` sum). Only matches leave the scan — the output is
+    O(hits). K is a user query list, not corpus-sized; for corpus-wide
+    all-pairs use the banded-hamming kernel (``ops/pairs.py``) instead.
+
+    Output: (query_id, image_id, hamming) sorted, self-matches excluded.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    qdf = (
+        ds.select_columns([id_col, phash_col])
+        .filter(expr=f"{id_col} in {list(query_ids)}")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    q_ids = qdf[id_col].to_numpy(object)
+    q_hash = qdf[phash_col].to_numpy(np.int64).view(np.uint64)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ph = t[phash_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        x = ph[:, None] ^ q_hash[None, :]  # (rows, K)
+        dist = np.unpackbits(x[:, :, None].view(np.uint8), axis=2).sum(
+            axis=2, dtype=np.int64
+        )
+        ri, qi = np.nonzero((dist <= max_hamming) & (ids[:, None] != q_ids[None, :]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids[qi], pa.string()),
+                id_col: pa.array(ids[ri], pa.string()),
+                "hamming": pa.array(dist[ri, qi]),
+            }
+        )
+
+    out = ds.select_columns([id_col, phash_col]).map_batches(
+        scan, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values(["query_id", "hamming", id_col]).reset_index(drop=True)

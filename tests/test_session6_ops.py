@@ -402,3 +402,21 @@ def test_inter_event_gaps_naive_parity(rd):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_phash_radius_search_planted(rd):
+    from rayquality.ops.image import phash_radius_search
+
+    base = np.int64(0x0123456789ABCDEF)
+    near = np.int64(base ^ 0b111)  # 3 bits away
+    far = np.int64(~base)  # 64 - popcount-ish, way outside radius
+    df = pd.DataFrame(
+        {
+            "image_id": ["q", "dup", "noise", "exact"],
+            "phash": [base, near, far, base],
+        }
+    )
+    got = phash_radius_search(rd.from_pandas(df), ["q"], max_hamming=8)
+    # finds the exact copy (0 bits) and the 3-bit variant; never itself/noise
+    assert got[["image_id", "hamming"]].values.tolist() == [["exact", 0], ["dup", 3]]
+    assert (got["query_id"] == "q").all()
