@@ -128,6 +128,20 @@ def cmd_describe(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Manifest-vs-disk integrity report; exit 1 if any wave fails."""
+    import json as _json
+
+    from .lineage import audit
+
+    reports = audit(args.output_dir)
+    for r in reports:
+        print(_json.dumps(r))
+    bad = [r for r in reports if not (r["files_ok"] and r["rows_ok"] and r["inputs_ok"])]
+    print(f"waves={len(reports)} failed={len(bad)}")
+    return 1 if bad or not reports else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayquality")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -172,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("describe-table", help="schema + row count of a parquet table")
     d.add_argument("path")
     d.set_defaults(fn=cmd_describe)
+
+    au = sub.add_parser(
+        "audit", help="verify a pipeline output dir against its checkpoint manifest"
+    )
+    au.add_argument("output_dir")
+    au.set_defaults(fn=cmd_audit)
 
     args = p.parse_args(argv)
     args.num_cpus = getattr(args, "num_cpus", None)

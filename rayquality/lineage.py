@@ -93,3 +93,44 @@ class Manifest:
                 with open(os.path.join(self.dir, name)) as f:
                     recs.append(json.load(f))
         return recs
+
+
+def audit(out_dir: str) -> "list[dict]":
+    """Verify every manifest record against the bytes on disk — the
+    integrity check an operator runs before trusting a resumed output:
+
+    - ``files_ok``: the recorded wave output dir exists and holds parquet;
+    - ``rows_ok``: parquet metadata row count (footer-only read, no data
+      IO) equals the recorded ``total`` tally;
+    - ``inputs_ok``: every recorded input file still exists and is
+      readable (full fingerprint equality additionally needs the run's
+      config digest, which ``Manifest.completed`` checks at resume time).
+
+    Returns one dict per wave (wave, files_ok, rows_ok, inputs_ok,
+    rows_expected, rows_found) ordered by wave id; the driver-side loop is
+    O(waves) — the coarse checkpoint unit, never O(rows).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    reports = []
+    man = Manifest(out_dir)
+    for rec in sorted(man.load_all(), key=lambda r: r["wave"]):
+        files = sorted(_glob.glob(os.path.join(rec["output_dir"], "*.parquet")))
+        rows_found = 0
+        for f in files:
+            rows_found += _pq.ParquetFile(f).metadata.num_rows
+        expected = int(rec["stats"].get("total", -1))
+        inputs_ok = all(os.path.isfile(p) for p in rec["inputs"])
+        reports.append(
+            {
+                "wave": rec["wave"],
+                "files_ok": bool(files),
+                "rows_ok": rows_found == expected,
+                "inputs_ok": inputs_ok,
+                "rows_expected": expected,
+                "rows_found": rows_found,
+            }
+        )
+    return reports

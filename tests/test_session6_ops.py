@@ -420,3 +420,35 @@ def test_phash_radius_search_planted(rd):
     # finds the exact copy (0 bits) and the 3-bit variant; never itself/noise
     assert got[["image_id", "hamming"]].values.tolist() == [["exact", 0], ["dup", 3]]
     assert (got["query_id"] == "q").all()
+
+
+def test_manifest_audit_detects_tampering(rd, tmp_path):
+    from rayquality import lineage, pipeline, synth
+    from rayquality.config import RunConfig
+
+    corpus = synth.ensure_corpus(3000, seed=42)
+    out = str(tmp_path / "audit_run")
+    pipeline.run(corpus, RunConfig(output_dir=out, write_kept=False, wave_size=4))
+    rep = lineage.audit(out)
+    assert rep and all(r["files_ok"] and r["rows_ok"] and r["inputs_ok"] for r in rep)
+    assert sum(r["rows_found"] for r in rep) == 3000
+    # tamper: delete one wave's parquet -> that wave flags rows_ok False
+    import glob as g, os as o
+
+    victim = sorted(g.glob(out + "/verdict/wave-00000/*.parquet"))[0]
+    o.remove(victim)
+    rep2 = lineage.audit(out)
+    assert not rep2[0]["rows_ok"]
+    assert all(r["rows_ok"] for r in rep2[1:])
+
+
+def test_cli_audit(rd, tmp_path, capsys):
+    from rayquality import pipeline, synth
+    from rayquality.cli import main as cli_main
+    from rayquality.config import RunConfig
+
+    corpus = synth.ensure_corpus(3000, seed=42)
+    out = str(tmp_path / "cli_audit_run")
+    pipeline.run(corpus, RunConfig(output_dir=out, write_kept=False))
+    assert cli_main(["audit", out]) == 0
+    assert "failed=0" in capsys.readouterr().out
