@@ -7,9 +7,10 @@ Prints ONE JSON line:
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
 
-``--scaling`` runs the headline job in two FRESH processes at 8 and 32 CPUs
-on the same input (the sandbox stand-in for N vs 4N nodes) and prints both
-throughputs plus scaling efficiency = (t8/t32)/(32/8).
+``--scaling`` runs the headline job in two FRESH taskset-pinned processes
+at N and 4N CPUs (default 4 vs 16; RAYQUALITY_SCALE_LO overrides) on the
+same input — the sandbox stand-in for N vs 4N nodes — and prints both
+throughputs plus scaling efficiency = (t_lo/t_hi)/(hi/lo).
 """
 
 from __future__ import annotations
