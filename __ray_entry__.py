@@ -942,8 +942,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bloom_semi_join_lineitem(sf):
         from rayquality.ops import bloom
 
+        import pyarrow.compute as _pc
+
         li, orders = _tables(sf, "lineitem", "orders")
-        urgent = orders.filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+        urgent = orders.map_batches(
+            lambda t: t.filter(_pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow",
+        )
         out = bloom.bloom_semi_join(
             li, "l_orderkey", urgent, "o_orderkey", ["l_orderkey", "l_linenumber"]
         ).to_pandas()
@@ -1430,60 +1435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # approximate query after — no oracled query may be stranded outside
     # the gate window (VERDICT r2 item 1).
     return {
-        # ---- oracled (50, exactly the gate window) -------------------------
-        "completeness_customer": completeness_customer,
-        "duplicates_orders_custkey": duplicates_orders_custkey,
-        "duplicate_values_orders": duplicate_values_orders,
-        "composite_dup_lineitem": composite_dup_lineitem,
-        "pattern_customer_name": pattern_customer_name,
-        "pattern_events_type": pattern_events_type,
-        "integrity_orders_customer": integrity_orders_customer,
-        "integrity_lineitem_orders": integrity_lineitem_orders,
-        "q1_pricing_summary": q1_pricing_summary,
-        "events_hourly": events_hourly,
-        "top_customers_by_revenue": top_customers_by_revenue,
-        "token_counts_documents": token_counts_documents,
-        "text_quality_documents": text_quality_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "tfidf_top_terms_documents": tfidf_top_terms_documents,
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
-        "dedup_embedding_documents": dedup_embedding_documents,
-        "fk_discovery": fk_discovery,
-        "ann_cosine_topk": ann_cosine_topk,
-        "user_sessions": user_sessions,
-        "sliding_window_events": sliding_window_events,
-        "asof_last_order": asof_last_order,
-        "range_join_cooccur_events": range_join_cooccur_events,
-        "sample_orders_mod": sample_orders_mod,
-        "revenue_by_segment": revenue_by_segment,
-        "top_customers_per_segment": top_customers_per_segment,
-        "grouped_quantiles_qty": grouped_quantiles_qty,
-        "customers_without_events": customers_without_events,
-        "broadcast_join_orders_segment": broadcast_join_orders_segment,
-        "clean_orders": clean_orders,
-        "heavy_hitters_exact_events": heavy_hitters_exact_events,
-        "pii_scrub_documents": pii_scrub_documents,
-        "dedup_clusters_documents": dedup_clusters_documents,
-        "stratified_sample_orders": stratified_sample_orders,
-        "pack_sequences_documents": pack_sequences_documents,
-        "doc_quality_filter_rules": doc_quality_filter_rules,
-        "mixture_by_lang_documents": mixture_by_lang_documents,
-        "json_field_sum_events": json_field_sum_events,
-        "distinct_users_per_event_type": distinct_users_per_event_type,
-        "histogram_lineitem_price": histogram_lineitem_price,
-        "window_rank_events": window_rank_events,
-        "running_total_events": running_total_events,
-        "dataset_split_orders": dataset_split_orders,
-        "pivot_events_by_type": pivot_events_by_type,
-        "funnel_signup_click_purchase": funnel_signup_click_purchase,
-        "rolling_sum_events": rolling_sum_events,
-        "lag_delta_events": lag_delta_events,
-        "cohort_retention_events": cohort_retention_events,
-        "quantiles_lineitem_qty": quantiles_lineitem_qty,
-        # ---- past the gate window ------------------------------------------
-        # these ARE oracled but sit past position 50: the 50 in-window slots
-        # are taken; the local gate (scripts/check_driver.py) certifies them
+        # ---- oracled, rotated into the 50-slot gate window this round ------
+        # (certification rotation: these 58 were locally green in r3 but had
+        # never received a driver-issued row; the 50 already-certified r3
+        # queries move past the window — see VERDICT.md round-3 item 1)
         "heavy_hitters_orders": heavy_hitters_orders,
         "decontaminate_documents": decontaminate_documents,
         "training_shuffle_documents": training_shuffle_documents,
@@ -1542,6 +1497,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_orders": percent_rank_orders,
         "freshness_by_type_events": freshness_by_type_events,
         "gap_quantiles_by_type_events": gap_quantiles_by_type_events,
+        # ---- oracled, driver-certified green in CORRECTNESS_r03 ------------
+        # (all 50 hash-matched in round 3; moved past the window so the
+        # rotation above gets its driver certificates)
+        "completeness_customer": completeness_customer,
+        "duplicates_orders_custkey": duplicates_orders_custkey,
+        "duplicate_values_orders": duplicate_values_orders,
+        "composite_dup_lineitem": composite_dup_lineitem,
+        "pattern_customer_name": pattern_customer_name,
+        "pattern_events_type": pattern_events_type,
+        "integrity_orders_customer": integrity_orders_customer,
+        "integrity_lineitem_orders": integrity_lineitem_orders,
+        "q1_pricing_summary": q1_pricing_summary,
+        "events_hourly": events_hourly,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "token_counts_documents": token_counts_documents,
+        "text_quality_documents": text_quality_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "tfidf_top_terms_documents": tfidf_top_terms_documents,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
+        "dedup_embedding_documents": dedup_embedding_documents,
+        "fk_discovery": fk_discovery,
+        "ann_cosine_topk": ann_cosine_topk,
+        "user_sessions": user_sessions,
+        "sliding_window_events": sliding_window_events,
+        "asof_last_order": asof_last_order,
+        "range_join_cooccur_events": range_join_cooccur_events,
+        "sample_orders_mod": sample_orders_mod,
+        "revenue_by_segment": revenue_by_segment,
+        "top_customers_per_segment": top_customers_per_segment,
+        "grouped_quantiles_qty": grouped_quantiles_qty,
+        "customers_without_events": customers_without_events,
+        "broadcast_join_orders_segment": broadcast_join_orders_segment,
+        "clean_orders": clean_orders,
+        "heavy_hitters_exact_events": heavy_hitters_exact_events,
+        "pii_scrub_documents": pii_scrub_documents,
+        "dedup_clusters_documents": dedup_clusters_documents,
+        "stratified_sample_orders": stratified_sample_orders,
+        "pack_sequences_documents": pack_sequences_documents,
+        "doc_quality_filter_rules": doc_quality_filter_rules,
+        "mixture_by_lang_documents": mixture_by_lang_documents,
+        "json_field_sum_events": json_field_sum_events,
+        "distinct_users_per_event_type": distinct_users_per_event_type,
+        "histogram_lineitem_price": histogram_lineitem_price,
+        "window_rank_events": window_rank_events,
+        "running_total_events": running_total_events,
+        "dataset_split_orders": dataset_split_orders,
+        "pivot_events_by_type": pivot_events_by_type,
+        "funnel_signup_click_purchase": funnel_signup_click_purchase,
+        "rolling_sum_events": rolling_sum_events,
+        "lag_delta_events": lag_delta_events,
+        "cohort_retention_events": cohort_retention_events,
+        "quantiles_lineitem_qty": quantiles_lineitem_qty,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,

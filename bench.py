@@ -170,8 +170,35 @@ def run_bench() -> dict:
     }
     if not skip_queries:
         result["ann"] = _ann_bench(sf)
+        result["heavy_10x"] = _heavy_bench()
     ray.shutdown()
     return result
+
+
+def _heavy_bench() -> dict:
+    """The six most expensive r3 queries at the 10x replicated scale
+    (scripts/scale_check.py corpora) so regressions in the expensive tail
+    land in the per-round BENCH artifact (VERDICT r3 item 8)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_check",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "scale_check.py"),
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    payload = sc.run_ops(
+        {
+            "minhash_lsh_10x",
+            "ngram_jaccard_10x",
+            "boilerplate_lines_10x",
+            "q3_shipping_priority",
+            "q5_local_supplier_10x",
+            "bloom_semi_join_10x",
+        },
+        shutdown=False,
+    )
+    return payload["ops"]
 
 
 def _ann_bench(sf: float) -> dict:
@@ -246,12 +273,11 @@ def _ann_bench(sf: float) -> dict:
     books = ann.pq_train(ds, m=8, sample=8192)
     codes = ann.pq_encode(ds, books).materialize()
     pq_build = time.time() - t0
-    # flat PQ is the MEMORY path (32x), not the speed path — 1000 queries
-    # bound its gather-dominated wall time in the bench (rate reported
-    # per-query; IVF-PQ below is the speed path at the full 4000)
+    # flat PQ at the full query set: the row-gather + f32-topk ADC kernel
+    # (ops/ann.py _adc_topk) made the exhaustive scan faster than brute
     t0 = time.time()
-    ann.pq_search(codes, books, qdf.reset_index(drop=True).head(1000), k=10)
-    pq_search_t = (time.time() - t0) * (len(qids) / 1000.0)
+    ann.pq_search(codes, books, qdf.reset_index(drop=True), k=10)
+    pq_search_t = time.time() - t0
     # IVF-PQ: IO-pruned cells x PQ codes — probe n_probe/n_cells of the
     # gather volume pure PQ pays
     ivfpq_path = f"/tmp/rayquality_ivfpq_bench/n{n}"

@@ -38,7 +38,12 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     import ray.data as rd
 
     from .engine import default_engine
-    from .report import ReportManager, analyze_results, quality_score
+    from .report import (
+        ReportManager,
+        analyze_results,
+        quality_score,
+        severity_details,
+    )
 
     table_name = os.path.splitext(os.path.basename(args.path.rstrip("/")))[0]
     ds = rd.read_parquet(args.path)
@@ -66,6 +71,10 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         f"{table_name}: {summary['passed_checks']}/{summary['total_checks']} checks passed "
         f"({quality_score(summary['success_rate'])} {summary['success_rate']:.1f}%)"
     )
+    if not args.quiet:
+        detail = severity_details(results)
+        if detail:
+            print(detail)
     for fmt, p in paths.items():
         print(f"  {fmt}: {p}")
     return 0 if summary["failed_checks"] == 0 else 1
@@ -152,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--output-dir", default="reports")
     a.add_argument("--formats", default="json,txt,html")
     a.add_argument("--pattern", action="append", help="column=regex custom rule")
+    a.add_argument(
+        "--quiet",
+        action="store_true",
+        help="suppress the per-severity failed-rule detail view",
+    )
     a.add_argument(
         "--validators",
         default=None,

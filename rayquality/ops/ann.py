@@ -421,6 +421,42 @@ def pq_encode(
     )
 
 
+def _adc_topk(
+    qi: np.ndarray, ltT: np.ndarray, raw: np.ndarray, nids: np.ndarray, k: int
+) -> pa.Table:
+    """Shared ADC scan: m contiguous ROW gathers from the transposed
+    (m, n_codes, Q) LUT into one (B, Q) float32 accumulator, then a
+    float32 k+1 argpartition per query (the extra slot absorbs a
+    self-match) — only the selected rows ever widen to float64. This
+    kernel replaced a broadcast fancy-index + full-matrix float64 copy +
+    full-matrix argpartition that made flat PQ 5x SLOWER than brute
+    (BENCH_r03 0.21x); same kernel serves pq_search and ivfpq_search_index."""
+    m = raw.shape[1]
+    acc = ltT[0][raw[:, 0]]  # fancy index allocates the accumulator
+    for j in range(1, m):
+        acc += ltT[j][raw[:, j]]
+    ksel = min(k + 1, acc.shape[0])
+    idx = np.argpartition(acc, ksel - 1, axis=0)[:ksel]
+    vals = np.take_along_axis(acc, idx, axis=0)
+    nsel = nids[idx]  # (ksel, Q)
+    sims = -vals.astype(np.float64)
+    sims[nsel == qi[None, :]] = -np.inf
+    kk = min(k, ksel)
+    ord2 = np.argsort(-sims, axis=0, kind="stable")[:kk]
+    return pa.table(
+        {
+            "query_id": pa.array(np.repeat(qi, kk)),
+            "neighbor_id": pa.array(
+                np.take_along_axis(nsel, ord2, axis=0).ravel(order="F")
+            ),
+            "sim": pa.array(
+                np.take_along_axis(sims, ord2, axis=0).ravel(order="F"),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def pq_search(
     codes_ds: rd.Dataset,
     codebooks: np.ndarray,
@@ -433,18 +469,19 @@ def pq_search(
     neighbor_id, rank).
 
     Per query a (m x n_codes) lookup table of subspace distances is built
-    ONCE (driver-side, tiny) and broadcast; each batch decodes distances
-    with pure table lookups + a sum over m — no float vector ever leaves
-    the object store. Ranking is by approximate L2 asc on normalized
-    vectors (equivalent to cosine desc up to quantization error);
-    deterministic (dist asc, neighbor_id asc).
+    ONCE (driver-side, tiny) and broadcast TRANSPOSED to (m, n_codes, Q):
+    the per-batch scan is then m ROW gathers (each row a contiguous
+    Q-float slab — a memcpy, not numpy's slow broadcast fancy-index) and
+    the top-k select runs on the float32 distance matrix BEFORE any
+    float64 copy (only k+1 rows per query ever widen). No float vector
+    ever leaves the object store. Ranking is by approximate L2 asc on
+    normalized vectors (equivalent to cosine desc up to quantization
+    error); deterministic (dist asc, neighbor_id asc).
     """
     m, n_codes, sub = codebooks.shape
     q_ids = queries[id_col].to_numpy()
     q_mat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    # (Q, m, n_codes) distance lookup tables; float32 halves the gather
-    # traffic in the (memory-bound) ADC scan
     luts = np.empty((len(q_mat), m, n_codes), np.float32)
     for j in range(m):
         x = q_mat[:, j * sub : (j + 1) * sub]
@@ -453,30 +490,18 @@ def pq_search(
             + (x**2).sum(axis=1)[:, None]
             + (codebooks[j] ** 2).sum(axis=1)[None, :]
         ).astype(np.float32)
-    lut_ref = ray.put((q_ids, luts))
+    # (m, n_codes, Q) row-gather layout, contiguous per code row
+    lut_ref = ray.put((q_ids, np.ascontiguousarray(luts.transpose(1, 2, 0))))
 
     def local_topk(t: pa.Table) -> pa.Table:
-        qi, lt = ray.get(lut_ref)
+        qi, ltT = ray.get(lut_ref)
         nids = t[id_col].to_numpy(zero_copy_only=False)
         arr = t["codes"].combine_chunks()
         # FixedSizeBinary data buffer is contiguous: zero-copy reshape
         raw = np.frombuffer(arr.buffers()[1], np.uint8)[
             arr.offset * m : (arr.offset + len(arr)) * m
         ].reshape(-1, m)
-        # dists[q, b] = sum_j lut[q, j, codes[b, j]] — gather-bound, so run
-        # in query chunks: each chunk's LUT slab (chunk x m x 256 float32,
-        # 256 KB at chunk=256) stays cache-resident across the m gathers
-        dists = np.empty((len(qi), len(nids)), np.float32)
-        CH = 256
-        for q0 in range(0, len(qi), CH):
-            lt_c = np.ascontiguousarray(lt[q0 : q0 + CH])
-            acc = lt_c[:, 0, raw[:, 0]]
-            for j in range(1, m):
-                acc += lt_c[:, j, raw[:, j]]
-            dists[q0 : q0 + CH] = acc
-        sims = -dists.astype(np.float64)  # reuse the (sim desc) top-k kernel
-        sims[qi[:, None] == nids[None, :]] = -np.inf
-        return _emit_topk(qi, nids, sims, k)
+        return _adc_topk(qi, ltT, raw, nids, k)
 
     parts = codes_ds.map_batches(
         local_topk, batch_format="pyarrow", batch_size=8192
@@ -582,12 +607,15 @@ def ivfpq_search_index(
             + (x**2).sum(axis=1)[:, None]
             + (books[j] ** 2).sum(axis=1)[None, :]
         ).astype(np.float32)
-    # per-cell query inversion (the _ivf_scan trick, LUT edition)
+    # per-cell query inversion (the _ivf_scan trick, LUT edition); LUTs
+    # stored transposed (m, n_codes, q_c) for the row-gather ADC kernel
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
     per_cell = []
     for c in range(len(centroids)):
         qrows = np.nonzero((q_cells == c).any(axis=1))[0]
-        per_cell.append((q_ids[qrows], np.ascontiguousarray(luts[qrows])))
+        per_cell.append(
+            (q_ids[qrows], np.ascontiguousarray(luts[qrows].transpose(1, 2, 0)))
+        )
     state = ray.put(per_cell)
     probed = np.unique(q_cells.ravel())
     files = [
@@ -612,18 +640,7 @@ def ivfpq_search_index(
             qi_c, lt_c = cellq[c]
             if not len(qi_c):
                 continue
-            rg = raw[grp]
-            dists = np.empty((len(qi_c), len(grp)), np.float32)
-            CH = 256
-            for q0 in range(0, len(qi_c), CH):
-                ltc = np.ascontiguousarray(lt_c[q0 : q0 + CH])
-                acc = ltc[:, 0, rg[:, 0]]
-                for j in range(1, m):
-                    acc += ltc[:, j, rg[:, j]]
-                dists[q0 : q0 + CH] = acc
-            sims = -dists.astype(np.float64)
-            sims[qi_c[:, None] == nids[grp][None, :]] = -np.inf
-            outs.append(_emit_topk(qi_c, nids[grp], sims, k))
+            outs.append(_adc_topk(qi_c, lt_c, raw[grp], nids[grp], k))
         if not outs:
             return pa.table(
                 {

@@ -341,7 +341,10 @@ def remove_boilerplate_lines(
         keys=["line"],
         sums=["nd"],
     )
-    hot = counts.filter(lambda r: r["nd"] > max_doc_freq).to_pandas()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["nd"], max_doc_freq)),
+        batch_format="pyarrow",
+    ).to_pandas()
     # an all-empty filter result arrives column-less (Ray to_pandas gotcha)
     hot_lines = hot["line"].tolist() if "line" in hot.columns else []
     hot_ref = ray.put(frozenset(hot_lines))

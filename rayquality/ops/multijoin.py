@@ -51,10 +51,12 @@ def q3_shipping_priority(
     hash-shuffle ``Dataset.join`` attaches the order date; block-local
     top-k then a driver merge — no global sort.
     """
+    def _seg_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"])
+
     seg_keys = (
         customer.select_columns(["c_custkey", "c_mktsegment"])
-        .filter(lambda r: r["c_mktsegment"] == segment)
-        .select_columns(["c_custkey"])
+        .map_batches(_seg_only, batch_format="pyarrow")
         .to_pandas()
     )
     keys_ref = ray.put(
@@ -143,7 +145,12 @@ def q5_local_supplier_volume(
     nat_names = dict(zip(nat_in_region["n_nationkey"].astype(int), nat_in_region["n_name"]))
     nat_ref = ray.put(nat_names)
     sdf = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_ref = ray.put(dict(zip(sdf["s_suppkey"].astype(int), sdf["s_nationkey"].astype(int))))
+    _sk = sdf["s_suppkey"].to_numpy(np.int64)
+    _sv = sdf["s_nationkey"].to_numpy(np.int64)
+    _ord = np.argsort(_sk, kind="stable")
+    # sorted (keys, values) ndarray pair: per-batch lookup is one
+    # np.searchsorted instead of a per-element PyObject dict hash
+    supp_ref = ray.put((_sk[_ord], _sv[_ord]))
     lo, hi = np.datetime64(date_lo, "us"), np.datetime64(date_hi, "us")
 
     def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
@@ -186,13 +193,14 @@ def q5_local_supplier_volume(
     )
 
     def per_nation(t: pa.Table) -> pd.DataFrame:
-        supp = ray.get(supp_ref)
-        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        s_nat = pd.Series(sk).map(supp).to_numpy(np.float64)
-        c_nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = s_nat == c_nat
+        keys, vals = ray.get(supp_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+        found = keys[pos] == sk
+        c_nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        keep = found & (vals[pos] == c_nat)
         rev = _rev_c100(t).to_numpy(zero_copy_only=False)[keep]
-        nk = c_nat[keep].astype(np.int64)
+        nk = c_nat[keep]
         g = pd.DataFrame({"nk": nk, "revenue_c100": rev}).groupby("nk", as_index=False).sum()
         g["revenue_c100"] = g["revenue_c100"].astype(np.int64)
         return g

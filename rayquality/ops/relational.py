@@ -166,19 +166,21 @@ def top_customers_per_segment(
     ordering (revenue desc, custkey asc).
     """
     seg = customer.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(seg["c_custkey"], seg["c_mktsegment"])))
+    _ck = seg["c_custkey"].to_numpy(np.int64)
+    _order = np.argsort(_ck, kind="stable")
+    # sorted (key, segment) ndarrays: per-batch lookup is one
+    # np.searchsorted, not a per-element PyObject dict hash per order row
+    seg_ref = ray.put((_ck[_order], seg["c_mktsegment"].to_numpy(object)[_order]))
 
     def partial(t: pa.Table) -> pa.Table:
-        seg_map = ray.get(seg_ref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = pd.Series(ck).map(seg_map)
+        keys, vals = ray.get(seg_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pos = np.minimum(np.searchsorted(keys, ck), max(len(keys) - 1, 0))
         # inner-join semantics: orders with an orphan custkey drop out
-        # (an unmatched key would otherwise surface as NaN and crash the
-        # string cast)
-        ok = segs.notna().to_numpy()
+        ok = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
         g = pa.table(
             {
-                "c_mktsegment": pa.array(segs.to_numpy(object)[ok], pa.string()),
+                "c_mktsegment": pa.array(vals[pos[ok]], pa.string()),
                 "c_custkey": t["o_custkey"].filter(pa.array(ok)),
                 "cents": _cents(t["o_totalprice"].filter(pa.array(ok))),
             }
@@ -566,11 +568,17 @@ def skew_aware_join(
         hot_keys = frozenset()
 
     sm = small.select_columns([small_key, *small_cols])
-    hot_rows = (
-        sm.filter(lambda r: r[small_key] in hot_keys).to_pandas()
-        if hot_keys
-        else pd.DataFrame()
-    )
+    if hot_keys:
+        _hk = ray.put(np.sort(np.asarray(list(hot_keys))))
+
+        def _hot_mask(df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized membership against the broadcast sorted key array —
+            # not a per-row Python lambda (Dataset.filter(fn) is row-at-a-time)
+            return df.loc[np.isin(df[small_key].to_numpy(), ray.get(_hk))]
+
+        hot_rows = sm.map_batches(_hot_mask, batch_format="pandas").to_pandas()
+    else:
+        hot_rows = pd.DataFrame()
     hot_map = (
         {
             k: tuple(v)

@@ -127,13 +127,16 @@ def exact_dedup(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("h", as_index=False)[id_col].min()[[id_col]]
 
-    kept = (
+    # no trailing sort: survivors are deterministic (min id per content
+    # hash) and consumers are order-insensitive — a global sort here is a
+    # full extra shuffle at 10^9 survivors (VERDICT r3 item 3). Callers
+    # that need an ordered view use ops.sink.range_sorted_write.
+    return (
         ds.select_columns([id_col, text_col])
         .map_batches(add_hash, batch_format="pandas")
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
-    return kept.sort(id_col)
 
 
 def exact_dup_clusters(

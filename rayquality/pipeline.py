@@ -222,19 +222,59 @@ def near_pairs_parallel(phs, ids, max_hamming: int, n_bands: int):
     return dedup.pairs_from_indices(parts, np.asarray(ids, dtype=object), len(phs))
 
 
+def _ids_numeric(winners: rd.Dataset) -> bool:
+    """True iff every image_id matches the synth corpus contract
+    ``img-{gid:09d}`` (rayquality/synth.py:168) — fixed-width zero-padded,
+    so numeric order == lexicographic order and int64 node keys round-trip
+    exactly back to the original string."""
+
+    def chk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ok": pa.array([True])})
+        m = pc.all(pc.match_substring_regex(t["image_id"], r"^img-\d{9}$")).as_py()
+        return pa.table({"ok": pa.array([bool(m)])})
+
+    parts = (
+        winners.select_columns(["image_id"])
+        .map_batches(chk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return bool(parts["ok"].all())
+
+
+def _parse_node_ids(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.schema([("nid", pa.int64())]).empty_table()
+    return pa.table({"nid": pc.utf8_slice_codeunits(t["image_id"], 4).cast(pa.int64())})
+
+
+def _parse_edge_ids(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+    return pa.table(
+        {
+            "id_a": pc.utf8_slice_codeunits(t["a"], 4).cast(pa.int64()),
+            "id_b": pc.utf8_slice_codeunits(t["b"], 4).cast(pa.int64()),
+        }
+    )
+
+
 def compute_near_losers(
     winners: rd.Dataset,
     max_hamming: int,
     n_bands: int,
     approx_candidates: int | None = None,
 ) -> set[str]:
-    """Banded near-dup over global winners -> loser id set (driver union-find).
+    """Banded near-dup over global winners -> loser id set.
 
     Adaptive like exact dedup: below DRIVER_COMBINE_MAX the exploded band
     table (4 skinny rows per winner) is collected and grouped on the driver
     with the same ``dedup.near_pairs_banded`` the oracle uses; above it the
     band keys shuffle through a groupby with a count prefilter so only
-    multi-member band groups reach the per-group pair verification.
+    multi-member band groups reach the per-group pair verification, and the
+    verified pair list feeds DISTRIBUTED min-label connected components
+    (ops/graph.py BSP) — the pair list never visits the driver; only the
+    loser id set (< winner count) does, same size as the finalize broadcast.
 
     Parity note: both paths produce identical pairs for band groups up to
     ``dedup.GROUP_CAP`` members; beyond the cap each path windows its
@@ -267,14 +307,16 @@ def compute_near_losers(
         lambda t: t.filter(pc.greater(t["cnt"], 1)).select(["bkey"]),
         batch_format="pyarrow",
     ).to_pandas()
-    hot = set(hot_keys["bkey"].astype(np.int64))
-    if not hot:
+    hot_arr = np.sort(hot_keys["bkey"].to_numpy(np.int64))
+    if not len(hot_arr):
         return set()
-    hot_ref = ray.put(hot)
+    # broadcast the SORTED ndarray once — per-batch lookup is a single
+    # np.isin against shared memory, not an O(|hot|) set->array rebuild
+    hot_ref = ray.put(hot_arr)
 
     def only_hot(t: pa.Table) -> pa.Table:
         hs = ray.get(hot_ref)
-        mask = np.isin(t["bkey"].to_numpy(zero_copy_only=False), np.fromiter(hs, np.int64))
+        mask = np.isin(t["bkey"].to_numpy(zero_copy_only=False), hs)
         return t.filter(pa.array(mask))
 
     # hash-partition by bkey (all rows of a key land together), then run the
@@ -303,6 +345,32 @@ def compute_near_losers(
         .groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
     )
+
+    # ---- pairs -> losers, distributed (VERDICT r3 item 2) ------------------
+    # On a near-dup-heavy corpus the verified pair list is O(N) (or worse:
+    # clusters contribute O(|c|^2) pairs), so above the driver cap the pair
+    # list must never visit the driver. BSP min-label connected components
+    # (ops/graph.py) labels every winner with its component's min image_id;
+    # only the LOSER ids (strictly fewer than the winner count) are
+    # collected, matching the finalize broadcast that exists anyway.
+    # Node ids: the corpus contract is zero-padded ``img-{gid:09d}``
+    # (rayquality/synth.py:168), so numeric order == lexicographic order and
+    # the int64-keyed CC reproduces component_losers' min-string winner
+    # exactly. Corpora with other id shapes fall back to the driver
+    # union-find (pairs were output-sized for every such corpus we ship).
+    if _ids_numeric(winners):
+        from .ops import graph
+
+        nodes = winners.map_batches(_parse_node_ids, batch_format="pyarrow")
+        edges = pairs_ds.map_batches(_parse_edge_ids, batch_format="pyarrow")
+        labels = graph.connected_components(
+            edges, nodes, id_col="nid", src_col="id_a", dst_col="id_b"
+        )
+        losers = labels.map_batches(
+            lambda t: t.filter(pc.not_equal(t["comp"], t["nid"])).select(["nid"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return {f"img-{int(i):09d}" for i in losers["nid"]}
     pdf = pairs_ds.to_pandas()  # verified pairs: small
     pairs = set(zip(pdf["a"], pdf["b"])) if len(pdf) else set()
     return dedup.component_losers(pairs)
@@ -458,16 +526,24 @@ def run(corpus_dir: str, run_cfg: RunConfig | None = None) -> dict:
         phases["exact_dedup"] = round(_time.time() - t0, 2)
         t0 = _time.time()
         if cfg.near_dup:
-            dm = dup_map
+            # sorted (phash, winner-id) broadcast arrays: per-batch lookup is
+            # one np.searchsorted, not a per-element PyObject dict hash
+            _dk = np.sort(np.fromiter(dup_map.keys(), np.int64, len(dup_map)))
+            _dv = np.asarray(
+                [dup_map[int(k)] for k in _dk], dtype=object
+            ) if len(_dk) else np.empty(0, object)
+            dm_ref = ray.put((_dk, _dv))
 
             def winners_only(t: pa.Table) -> pa.Table:
                 t = _filter_keep_skinny(t)
-                if not dm:
+                keys, wins = ray.get(dm_ref)
+                if not len(keys):
                     return t
                 ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.minimum(np.searchsorted(keys, ph), len(keys) - 1)
+                found = keys[pos] == ph
                 ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
-                wins = pd.Series(ph).map(dm)
-                mask = wins.isna().to_numpy() | (wins.to_numpy(object) == ids)
+                mask = ~found | (wins[pos] == ids)
                 return t.filter(pa.array(mask))
 
             winners = rd.read_parquet(

@@ -75,6 +75,53 @@ def top_issues(results: list[ValidationResult], limit: int = 10) -> list[Validat
     )[:limit]
 
 
+def severity_details(results: list[ValidationResult]) -> str:
+    """Console detail view of FAILED rules grouped by severity (capability
+    parity with the reference's per-severity result tables,
+    /root/reference/src/data_quality/cli.py:407-501 — own layout, plain
+    text): one section per severity in priority order, each failed rule
+    with its column, affected/total counts, pass rate, message, and up to
+    three detail samples (invalid values / orphans / dup combos) when the
+    validator collected them. Empty string when nothing failed."""
+    failed = [r for r in results if not r.passed]
+    if not failed:
+        return ""
+    lines: list[str] = []
+    by_sev: dict[str, list[ValidationResult]] = {}
+    for r in failed:
+        by_sev.setdefault(r.severity.value, []).append(r)
+    for sev in sorted(by_sev, key=lambda s: SEVERITY_PRIORITY.get(s, 4)):
+        rows = sorted(by_sev[sev], key=lambda r: -r.affected_rows)
+        lines.append(f"[{sev}] {len(rows)} failed rule(s)")
+        lines.append("-" * 50)
+        for r in rows:
+            col = r.column_name or "-"
+            lines.append(
+                f"  {r.rule_name}  (column: {col})"
+                f"  affected {r.affected_rows:,}/{r.total_rows:,}"
+                f"  pass_rate {r.pass_rate:.1f}%"
+            )
+            lines.append(f"    {r.message}")
+            samples = next(
+                (
+                    r.details[key]
+                    for key in (
+                        "invalid_samples",
+                        "orphaned_samples",
+                        "duplicate_samples",
+                        "sample_duplicates",
+                    )
+                    if r.details.get(key)
+                ),
+                None,
+            )
+            if samples:
+                shown = ", ".join(repr(s) for s in list(samples)[:3])
+                lines.append(f"    samples: {shown}")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def json_report(results: list[ValidationResult], table_name: str) -> dict[str, Any]:
     return {
         "report_type": "data_quality",

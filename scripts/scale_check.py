@@ -27,7 +27,9 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BIG = "/tmp/rayquality_scalecheck"
+# cache key includes the source dir name: a bench/smoke run at another SF
+# must not reuse (or poison) replicated corpora built from a different base
+BIG = f"/tmp/rayquality_scalecheck/{os.path.basename(SF_DIR.rstrip('/'))}"
 
 
 def _replicate(src: str, out_dir: str, n_rep: int, id_cols: dict[str, int]) -> str:
@@ -48,8 +50,11 @@ def _replicate(src: str, out_dir: str, n_rep: int, id_cols: dict[str, int]) -> s
     return out_dir
 
 
-def main() -> None:
-    only = set(sys.argv[1:])
+def run_ops(only: set[str] | None = None, shutdown: bool = True) -> dict:
+    """Run the replicated-corpus scale checks (all, or the ``only`` subset)
+    -> payload dict. ``shutdown=False`` lets a caller that owns the Ray
+    session (bench.py's heavy-tail section) reuse it."""
+    only = only or set()
     import ray
 
     if not ray.is_initialized():
@@ -455,8 +460,73 @@ def main() -> None:
 
     run("event_paths", n_ev, _event_paths)
 
-    print(json.dumps({"n_docs": n_docs, "n_events": n_ev, "n_orders": n_ord, "ops": results}))
-    ray.shutdown()
+    # ---- the heavy-tail six (VERDICT r3 item 8): the most expensive
+    # BENCH queries at replicated scale so regressions in the expensive
+    # tail land in the per-round artifact, not just ad-hoc runs ----------
+    docs10_dir = _replicate(
+        f"{SF_DIR}/documents.parquet", BIG + "/docs10", 10, {"doc_id": 1_000_000}
+    )
+
+    def docs10() -> rd.Dataset:
+        return rd.read_parquet(sorted(glob.glob(docs10_dir + "/*.parquet")))
+
+    n_docs10 = docs10().count()
+    run(
+        "minhash_lsh_10x",
+        n_docs10,
+        lambda: textdedup.minhash_lsh_pairs(docs10(), threshold=0.5),
+    )
+    run(
+        "ngram_jaccard_10x",
+        n_docs10,
+        lambda: textdedup.ngram_jaccard_pairs(docs10(), threshold=0.5),
+    )
+    run(
+        "boilerplate_lines_10x",
+        n_docs10,
+        lambda: curation.remove_boilerplate_lines(docs10(), max_doc_freq=2),
+    )
+
+    def _q5():
+        from rayquality.ops import multijoin
+
+        # region/nation/supplier/customer stay unreplicated (dimensions);
+        # the two big joins probe the full 10x orders/lineitem volume
+        return multijoin.q5_local_supplier_volume(
+            rd.read_parquet(f"{SF_DIR}/region.parquet"),
+            rd.read_parquet(f"{SF_DIR}/nation.parquet"),
+            rd.read_parquet(f"{SF_DIR}/supplier.parquet"),
+            rd.read_parquet(f"{SF_DIR}/customer.parquet"),
+            orders(),
+            lineitem(),
+        )
+
+    run("q5_local_supplier_10x", lineitem().count(), _q5)
+
+    def _bloom():
+        import pyarrow.compute as pc
+
+        from rayquality.ops import bloom
+
+        urgent = orders().map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow",
+        )
+        return bloom.bloom_semi_join(
+            lineitem(), "l_orderkey", urgent, "o_orderkey",
+            ["l_orderkey", "l_linenumber"],
+        )
+
+    run("bloom_semi_join_10x", lineitem().count(), _bloom)
+
+    payload = {"n_docs": n_docs, "n_events": n_ev, "n_orders": n_ord, "ops": results}
+    if shutdown:
+        ray.shutdown()
+    return payload
+
+
+def main() -> None:
+    print(json.dumps(run_ops(set(sys.argv[1:]))))
 
 
 if __name__ == "__main__":

@@ -50,3 +50,26 @@ def test_distributed_stage_b_matches_driver_path(corpus, monkeypatch):
         if x != y
     ]
     assert not mism, mism[:5]
+
+
+def test_big_path_near_dup_uses_distributed_components(corpus, monkeypatch):
+    """Above the driver cap the verified pair list must feed the BSP
+    connected-components kernel, never the driver union-find: poison the
+    union-find and require the distributed loser set to equal the small
+    path's (same corpus, same bands)."""
+    import ray.data as rd
+
+    from rayquality import dedup
+
+    winners = rd.read_parquet(corpus).select_columns(["phash", "image_id"])
+    small = pipeline.compute_near_losers(winners, 3, 4, approx_candidates=10)
+    assert small, "corpus must contain planted near-dups for this test"
+
+    def boom(pairs):
+        raise AssertionError("driver union-find reached on the big path")
+
+    monkeypatch.setattr(dedup, "component_losers", boom)
+    big = pipeline.compute_near_losers(
+        winners, 3, 4, approx_candidates=pipeline.DRIVER_COMBINE_MAX + 1
+    )
+    assert big == small

@@ -166,3 +166,51 @@ def test_cli_list_and_describe():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out2.returncode == 0 and "r_name" in out2.stdout
+
+
+def test_severity_details_grouping():
+    results = [
+        _mk("warn_rule", Severity.WARNING, False, 50, 100, "completeness"),
+        _mk("crit_rule", Severity.CRITICAL, False, 5, 100, "integrity"),
+        _mk("err_big", Severity.ERROR, False, 99, 100, "duplicates"),
+        _mk("err_small", Severity.ERROR, False, 10, 100, "duplicates"),
+        _mk("ok_rule", Severity.INFO, True, 0, 100),
+    ]
+    results[1].details["orphaned_samples"] = [7, 8, 9, 10]
+    text = report.severity_details(results)
+    # sections in priority order; passed rules absent
+    assert text.index("[CRITICAL]") < text.index("[ERROR]") < text.index("[WARNING]")
+    assert "ok_rule" not in text
+    # within a severity: affected desc
+    assert text.index("err_big") < text.index("err_small")
+    assert "affected 5/100" in text and "pass_rate 95.0%" in text
+    assert "samples: 7, 8, 9" in text and "10" not in text.split("samples:")[1].split("\n")[0]
+    # all-passed -> empty (cmd_analyze prints nothing)
+    assert report.severity_details([_mk("x", Severity.INFO, True, 0, 5)]) == ""
+
+
+def test_cli_analyze_severity_detail_view():
+    """CLI drive: `analyze` on orders must render failed rules grouped by
+    severity (duplicates on o_custkey fail at ERROR in this corpus)."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "rayquality.cli",
+            "--num-cpus",
+            "4",
+            "analyze",
+            f"{SF}/orders.parquet",
+            "--output-dir",
+            "/tmp/rq_cli_analyze_test",
+            "--formats",
+            "txt",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode in (0, 1), out.stderr[-2000:]
+    assert "[ERROR]" in out.stdout, out.stdout
+    assert "failed rule(s)" in out.stdout
+    assert "affected" in out.stdout and "pass_rate" in out.stdout

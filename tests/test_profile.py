@@ -177,7 +177,8 @@ def test_normalized_dedup(rd):
     )
     got = textdedup.normalized_dedup(rd.from_pandas(df)).to_pandas()
     # cluster {0,1,2} -> 0; 3 unique; {4 (null), 5 (punct-only)} -> 4
-    assert got["doc_id"].tolist() == [0, 3, 4]
+    # (survivor set is deterministic; output order is not — no global sort)
+    assert sorted(got["doc_id"].tolist()) == [0, 3, 4]
 
 
 def test_normalized_dedup_real_corpus(rd):
@@ -195,4 +196,4 @@ def test_normalized_dedup_real_corpus(rd):
         .str.strip()
     )
     want = ref.assign(n=norm).groupby("n")["doc_id"].min().sort_values()
-    assert got["doc_id"].tolist() == want.tolist()
+    assert sorted(got["doc_id"].tolist()) == want.tolist()
