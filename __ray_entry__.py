@@ -831,6 +831,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust, orders, li = _tables(sf, "customer", "orders", "lineitem")
         return multijoin.q3_shipping_priority(cust, orders, li)
 
+    def q10_returned_item_revenue(sf):
+        from rayquality.ops import multijoin
+
+        cust, orders, li, nat = _tables(sf, "customer", "orders", "lineitem", "nation")
+        return multijoin.q10_returned_item_revenue(cust, orders, li, nat)
+
+    def q18_large_volume_customers(sf):
+        from rayquality.ops import multijoin
+
+        cust, orders, li = _tables(sf, "customer", "orders", "lineitem")
+        return multijoin.q18_large_volume_customers(cust, orders, li)
+
     def q5_local_supplier_volume(sf):
         from rayquality.ops import multijoin
 
@@ -1550,6 +1562,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_delta_events": lag_delta_events,
         "cohort_retention_events": cohort_retention_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
+        # ---- new in round 4 (oracled, past the window) ----------------------
+        # rotate into the r5 gate window together with the 8 remaining
+        # uncertified entries (positions 51-58 above)
+        "q10_returned_item_revenue": q10_returned_item_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2154,6 +2171,30 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "q10_returned_item_revenue": (
+            "SELECT c.c_custkey, c.c_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100, "
+            "CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c100, n.n_name "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-04-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND l.l_returnflag = 'R' "
+            "GROUP BY 1, 2, 4, 5 ORDER BY revenue_c100 DESC, c.c_custkey LIMIT 20"
+        ),
+        "q18_large_volume_customers": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c100 "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 18000) "
+            "SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, "
+            "CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c100, "
+            "b.total_qty_c100 "
+            "FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "ORDER BY totalprice_c100 DESC, o.o_orderkey LIMIT 100"
         ),
         "q14_promo_share": (
             "WITH f AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "

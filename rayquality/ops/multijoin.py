@@ -277,3 +277,194 @@ def q14_promo_revenue_share(
             "share_micro": [quantize_i64(np.array([share]), 1.0)[0]],
         }
     )
+
+
+def q10_returned_item_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation: rd.Dataset,
+    date_lo: str = "1996-04-01",
+    date_hi: str = "1996-07-01",
+    k: int = 20,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Q10: top-k customers by revenue lost to returned items in one
+    quarter -> DataFrame (c_custkey, c_name, revenue_c100, acctbal_c100,
+    n_name), revenue desc.
+
+    Plan: orders prune to the quarter's (orderkey, custkey) skinny pair;
+    lineitem prunes to returnflag='R' and pre-aggregates revenue per
+    orderkey (combiner); ONE hash-shuffle ``Dataset.join`` attaches the
+    custkey; a second combiner collapses to per-customer revenue (at most
+    one row per window customer); block-local top-k + driver merge picks
+    the k winners — and only THEN do customer/nation attributes enter,
+    fetched for exactly k keys. Customer is never broadcast and nothing
+    wider than (key, partial) crosses a shuffle.
+    """
+    lo, hi = np.datetime64(date_lo, "us"), np.datetime64(date_hi, "us")
+
+    def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        return df.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
+
+    owin = orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_filter, batch_format="pandas"
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": _rev_c100(t)})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "revenue_c100"])
+
+    li_rev = _combine.combine_partials(
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+        ).map_batches(li_partial, batch_format="pyarrow"),
+        keys=["l_orderkey"],
+        sums=["revenue_c100"],
+    )
+
+    j = li_rev.join(
+        owin,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = _combine.combine_partials(
+        j.select_columns(["o_custkey", "revenue_c100"]),
+        keys=["o_custkey"],
+        sums=["revenue_c100"],
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_c100", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        per_cust.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["revenue_c100", "o_custkey"], ascending=[False, True])
+        .head(k)
+    )
+    win_keys = set(top["o_custkey"].tolist())
+
+    def only_winners(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_custkey"].isin(win_keys)]
+
+    cattrs = (
+        customer.select_columns(["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(only_winners, batch_format="pandas")
+        .to_pandas()
+    )
+    ndf = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cattrs, left_on="o_custkey", right_on="c_custkey").merge(
+        ndf, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["acctbal_c100"] = (
+        np.floor(out["c_acctbal"].to_numpy(np.float64) * 100 + 0.5)
+    ).astype(np.int64)
+    out = out.sort_values(
+        ["revenue_c100", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue_c100", "acctbal_c100", "n_name"]]
+
+
+def q18_large_volume_customers(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    qty_threshold: int = 180,
+    k: int = 100,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Q18: orders whose total line quantity exceeds a threshold, with
+    their customers -> DataFrame (c_name, o_custkey, o_orderkey,
+    o_orderdate, totalprice_c100, total_qty_c100), totalprice desc.
+
+    Plan: quantity pre-aggregates per orderkey inside every block
+    (combiner) so the HAVING filter runs on (key, sum) rows — ~1% of
+    orders survive; the survivors hash-join orders once; block-local
+    top-k + driver merge bound the result; customer names are fetched for
+    the winner custkeys only. The full-table groupby never materializes
+    row-level quantities and the big tables shuffle only skinny columns.
+    """
+    thr_c100 = int(qty_threshold) * 100
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(pc.cast(t["l_quantity"], pa.float64()),
+                                         pa.scalar(100.0))), pa.int64())
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "q": q})
+            .group_by("l_orderkey")
+            .aggregate([("q", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "total_qty_c100"])
+
+    qty = _combine.combine_partials(
+        lineitem.select_columns(["l_orderkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow"
+        ),
+        keys=["l_orderkey"],
+        sums=["total_qty_c100"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty_c100"], thr_c100)),
+        batch_format="pyarrow",
+    )
+
+    def ord_skinny(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "totalprice_c100": cents_pa(t["o_totalprice"]),
+            }
+        )
+
+    osk = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(ord_skinny, batch_format="pyarrow")
+
+    j = qty.join(
+        osk,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["totalprice_c100", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        j.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["totalprice_c100", "l_orderkey"], ascending=[False, True])
+        .head(k)
+    )
+    win_keys = set(top["o_custkey"].tolist())
+    cnames = (
+        customer.select_columns(["c_custkey", "c_name"])
+        .map_batches(
+            lambda df: df.loc[df["c_custkey"].isin(win_keys)], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = top.merge(cnames, left_on="o_custkey", right_on="c_custkey")
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    out = out.sort_values(
+        ["totalprice_c100", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out[
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate", "totalprice_c100", "total_qty_c100"]
+    ]

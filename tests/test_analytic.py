@@ -679,3 +679,64 @@ def test_top_ngrams(rd):
     out = text_ops.top_ngrams(rd.from_pandas(df), n=2, top_k=2)
     assert out["ngram"].tolist() == ["a b", "b a"]
     assert out["cnt"].tolist() == [4, 2]
+
+
+def test_q10_returned_item_revenue(rd):
+    from rayquality.ops import multijoin
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet")
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    nat = rd.read_parquet(f"{SF}/nation.parquet")
+    got = multijoin.q10_returned_item_revenue(cust, orders, li, nat)
+
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    lo, hi = pd.Timestamp("1996-04-01"), pd.Timestamp("1996-07-01")
+    o = o[(o["o_orderdate"] >= lo) & (o["o_orderdate"] < hi)]
+    l = l[l["l_returnflag"] == "R"].copy()
+    l["rev"] = _naive_rev_c100(l)
+    m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    per = m.groupby("o_custkey", as_index=False)["rev"].sum()
+    want = per.sort_values(["rev", "o_custkey"], ascending=[False, True]).head(20)
+    want = want.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    want = want.sort_values(["rev", "c_custkey"], ascending=[False, True])
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_c100"].tolist() == want["rev"].tolist()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    import numpy as np
+
+    want_bal = np.floor(want["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64")
+    assert got["acctbal_c100"].tolist() == want_bal.tolist()
+
+
+def test_q18_large_volume_customers(rd):
+    from rayquality.ops import multijoin
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet")
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    li = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = multijoin.q18_large_volume_customers(cust, orders, li)
+
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    l = pd.read_parquet(f"{SF}/lineitem.parquet").copy()
+    l["q"] = _cents(l["l_quantity"])
+    qty = l.groupby("l_orderkey", as_index=False)["q"].sum()
+    big = qty[qty["q"] > 18000]
+    assert len(big) > 0, "threshold must keep some orders at sf0.001"
+    m = big.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        c, left_on="o_custkey", right_on="c_custkey"
+    )
+    m["totalprice_c100"] = _cents(m["o_totalprice"])
+    want = m.sort_values(
+        ["totalprice_c100", "o_orderkey"], ascending=[False, True]
+    ).head(100)
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["total_qty_c100"].tolist() == want["q"].tolist()
+    assert got["totalprice_c100"].tolist() == want["totalprice_c100"].tolist()
+    assert got["c_name"].tolist() == want["c_name"].tolist()
