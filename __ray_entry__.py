@@ -1015,6 +1015,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
         )
 
+    def top_event_type_per_user(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.grouped_mode(ev, "user_id", "event_type").to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "event_type", "cnt"]
+        ]
+
+    def event_type_transitions(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.type_transitions(ev).to_pandas()
+        return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)[
+            ["prev_type", "event_type", "n"]
+        ]
+
     def cohort_retention_events(sf):
         from rayquality.ops import windows
 
@@ -1567,6 +1585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uncertified entries (positions 51-58 above)
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "top_event_type_per_user": top_event_type_per_user,
+        "event_type_transitions": event_type_transitions,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2171,6 +2191,18 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "top_event_type_per_user": (
+            "SELECT user_id, event_type, cnt FROM ("
+            "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY 1, 2) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "event_type_transitions": (
+            "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+            "event_type FROM events) "
+            "WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "q10_returned_item_revenue": (
             "SELECT c.c_custkey, c.c_name, "

@@ -809,3 +809,102 @@ def inter_event_gaps(events: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def grouped_mode(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Most frequent ``val_col`` per ``key_col`` (the per-key argmax /
+    MODE() primitive) with deterministic ties: count desc, value asc.
+
+    ONE shuffle with a map-side combiner: every batch pre-counts its
+    (key, value) pairs (the only rows that travel), partitions hash on the
+    KEY alone so a key's partials co-locate, and each partition does a
+    vectorized sum + sort + ``drop_duplicates(key)`` argmax. Output is
+    O(distinct keys) rows: (key, val, cnt).
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = (
+            t.select([key_col, val_col])
+            .group_by([key_col, val_col])
+            .aggregate([([], "count_all")])
+        )
+        df = g.to_pandas().rename(columns={"count_all": "cnt"})
+        hv = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy(np.uint64)
+        df["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    val_col: pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype=np.int64),
+                }
+            )
+        c = g.groupby([key_col, val_col], as_index=False)["cnt"].sum()
+        c = c.sort_values([key_col, "cnt", val_col], ascending=[True, False, True])
+        top = c.drop_duplicates(key_col)
+        return top.reset_index(drop=True)
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def type_transitions(
+    events: rd.Dataset,
+    group_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Markov transition counts between consecutive per-user event types —
+    (prev_type, type, n) — the matrix behind journey/attribution models.
+
+    Group-hash partition (all of a user's rows co-locate), ONE vectorized
+    sort + ``groupby.shift`` per partition, then per-partition bigram
+    count partials; the final combine moves only O(|types|^2) rows.
+    """
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        out = df[[group_col, *order_cols, type_col]].copy()
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    type_col: pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([group_col, *order_cols], kind="stable")
+        prev = g.groupby(group_col)[type_col].shift(1)
+        m = prev.notna().to_numpy()
+        pairs = pd.DataFrame(
+            {"prev_type": prev.to_numpy(object)[m], type_col: g[type_col].to_numpy(object)[m]}
+        )
+        out = pairs.groupby(["prev_type", type_col], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = (
+        events.select_columns([group_col, *order_cols, type_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )
+    from . import combine as _combine
+
+    return _combine.combine_partials(partials, keys=["prev_type", type_col], sums=["n"])

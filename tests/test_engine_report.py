@@ -214,3 +214,28 @@ def test_cli_analyze_severity_detail_view():
     assert "[ERROR]" in out.stdout, out.stdout
     assert "failed rule(s)" in out.stdout
     assert "affected" in out.stdout and "pass_rate" in out.stdout
+
+
+def test_gate_window_rotation_contract():
+    """The driver certifies only the first 50 queries() entries. Round-4
+    contract: every window slot is oracled, and none of them already holds
+    a round-3 driver certificate (the rotation must spend the window on
+    never-certified queries, not re-certify green ones)."""
+    import json
+
+    import __ray_entry__ as e
+
+    qs = list(e.queries())
+    osql = e.oracle_sql()
+    first50 = qs[:50]
+    assert all(k in osql for k in first50), [k for k in first50 if k not in osql]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "CORRECTNESS_r03.json")) as f:
+        r3 = json.load(f)
+    certified = {k for k, v in r3.items() if v.get("hash_match")}
+    overlap = set(first50) & certified
+    assert not overlap, sorted(overlap)
+    # and nothing oracled was dropped: every r3-certified query is still
+    # registered with an oracle, just past the window
+    missing = certified - set(qs)
+    assert not missing, sorted(missing)

@@ -452,3 +452,71 @@ def test_cli_audit(rd, tmp_path, capsys):
     pipeline.run(corpus, RunConfig(output_dir=out, write_kept=False))
     assert cli_main(["audit", out]) == 0
     assert "failed=0" in capsys.readouterr().out
+
+
+def test_grouped_mode_ties_and_counts(rd):
+    from rayquality.ops import windows
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "v": ["b", "a", "a", "z", "y", "m"],  # k=2 ties 1-1 -> 'y' (asc)
+        }
+    )
+    got = (
+        windows.grouped_mode(rd.from_pandas(df), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["v"].tolist() == ["a", "y", "m"]
+    assert got["cnt"].tolist() == [2, 1, 1]
+
+
+def test_grouped_mode_real_corpus(rd):
+    from rayquality.ops import windows
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        windows.grouped_mode(ev, "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    c = pdf.groupby(["user_id", "event_type"], as_index=False).size()
+    c = c.sort_values(["user_id", "size", "event_type"], ascending=[True, False, True])
+    want = c.drop_duplicates("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["cnt"].tolist() == want["size"].tolist()
+
+
+def test_type_transitions_real_corpus(rd):
+    from rayquality.ops import windows
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        windows.type_transitions(ev)
+        .to_pandas()
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="stable"
+    )
+    prev = pdf.groupby("user_id")["event_type"].shift(1)
+    m = prev.notna()
+    pairs = pd.DataFrame(
+        {"prev_type": prev[m].to_numpy(object), "event_type": pdf.loc[m, "event_type"]}
+    )
+    want = (
+        pairs.groupby(["prev_type", "event_type"], as_index=False)
+        .size()
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got["prev_type"].tolist() == want["prev_type"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n"].tolist() == want["size"].tolist()
