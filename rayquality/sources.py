@@ -48,9 +48,35 @@ def _read_lance(path: str, **kwargs) -> rd.Dataset:
     return rd.read_lance(path, **kwargs)
 
 
+def _read_orc(path: str, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+    """Distributed ORC reader (this Ray build ships no ``read_orc``): Ray
+    lists and ships file bytes — one block per file, the same per-file
+    parallelism Ray's own file readers use — and each TASK decodes with
+    ``pyarrow.orc``, so decode scales with the cluster. ``columns`` prunes
+    at decode (whole files still leave storage — at real scale prefer
+    parquet, whose reader prunes row groups at the IO layer; ORC support
+    exists for ingest compatibility, not as the resident format)."""
+    import pyarrow as pa
+
+    files = rd.read_binary_files(path, **kwargs)
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.orc as po
+
+        tabs = [
+            po.ORCFile(pa.BufferReader(b.as_py())).read(columns=columns)
+            for b in t["bytes"]
+        ]
+        return pa.concat_tables(tabs)
+
+    return files.map_batches(decode, batch_format="pyarrow")
+
+
 register_source("parquet", rd.read_parquet)
 register_source("csv", rd.read_csv)
 register_source("json", rd.read_json)
 register_source("text", rd.read_text)
 register_source("binary", rd.read_binary_files)
+register_source("numpy", rd.read_numpy)
+register_source("orc", _read_orc)
 register_source("lance", _read_lance)

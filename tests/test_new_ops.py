@@ -53,6 +53,24 @@ def test_sources_registry(rd, tmp_path):
     # extension hook
     sources.register_source("range5", lambda path, **kw: rd.range(5))
     assert sources.read_table("ignored", "range5").count() == 5
+    # ORC round-trip through the distributed decode path, with pruning
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    tbl = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.5, 1.5, 2.5]})
+    orc_dir = tmp_path / "orc"
+    orc_dir.mkdir()
+    po.write_table(tbl, str(orc_dir / "part0.orc"))
+    po.write_table(tbl, str(orc_dir / "part1.orc"))
+    got = sources.read_table(str(orc_dir), "orc").to_pandas().sort_values(["a"])
+    assert len(got) == 6 and list(got.columns) == ["a", "b", "c"]
+    assert got["a"].tolist() == [1, 1, 2, 2, 3, 3]
+    pruned = sources.read_table(str(orc_dir), "orc", columns=["b"]).to_pandas()
+    assert list(pruned.columns) == ["b"] and len(pruned) == 6
+    # numpy source
+    np.save(str(tmp_path / "vecs.npy"), np.arange(12).reshape(4, 3))
+    nds = sources.read_table(str(tmp_path / "vecs.npy"), "numpy")
+    assert nds.count() == 4
 
 
 def test_image_features_and_thumbs(rd):
