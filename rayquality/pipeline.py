@@ -353,11 +353,10 @@ def compute_near_losers(
     # (ops/graph.py) labels every winner with its component's min image_id;
     # only the LOSER ids (strictly fewer than the winner count) are
     # collected, matching the finalize broadcast that exists anyway.
-    # Node ids: the corpus contract is zero-padded ``img-{gid:09d}``
-    # (rayquality/synth.py:168), so numeric order == lexicographic order and
-    # the int64-keyed CC reproduces component_losers' min-string winner
-    # exactly. Corpora with other id shapes fall back to the driver
-    # union-find (pairs were output-sized for every such corpus we ship).
+    # Node ids, fast path: the corpus contract is zero-padded
+    # ``img-{gid:09d}`` (rayquality/synth.py:168), so numeric order ==
+    # lexicographic order and the int64-keyed CC reproduces
+    # component_losers' min-string winner exactly, with no joins.
     if _ids_numeric(winners):
         from .ops import graph
 
@@ -371,9 +370,75 @@ def compute_near_losers(
             batch_format="pyarrow",
         ).to_pandas()
         return {f"img-{int(i):09d}" for i in losers["nid"]}
-    pdf = pairs_ds.to_pandas()  # verified pairs: small
-    pairs = set(zip(pdf["a"], pdf["b"])) if len(pdf) else set()
-    return dedup.component_losers(pairs)
+    return _losers_general(winners, pairs_ds)
+
+
+def _hash_ids(col) -> np.ndarray:
+    """Deterministic vectorized 63-bit key per id string (SipHash via
+    pandas, stable across processes; >>1 keeps int64 positive)."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(col.to_pylist(), dtype=object), index=False
+    ).to_numpy(np.uint64)
+    return (h >> np.uint64(1)).view(np.int64)
+
+
+def _losers_general(winners: rd.Dataset, pairs_ds: rd.Dataset) -> set[str]:
+    """Distributed near-dup losers for ARBITRARY id strings: ids hash to
+    int63 node keys, BSP CC labels components on the hashes, and each
+    component's minimum ORIGINAL id (the keep-winner) is resolved with one
+    hash join + one grouped pass — the pair list never visits the driver.
+    A 63-bit key collision (expected pairs ~ n^2/2^64, ~0.05 at 10^9
+    winners) can merge two clusters and drop one extra near-dup candidate;
+    acceptable for an approximate dedup stage, and the synth-contract fast
+    path above stays exact."""
+    from .ops import graph
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"nid": pa.array([], pa.int64()), "image_id": pa.array([], pa.string())}
+            )
+        return pa.table({"nid": pa.array(_hash_ids(t["image_id"])), "image_id": t["image_id"]})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"id_a": pa.array(_hash_ids(t["a"])), "id_b": pa.array(_hash_ids(t["b"]))}
+        )
+
+    mapping = winners.map_batches(node_rows, batch_format="pyarrow")
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow")
+    labels = graph.connected_components(
+        edges,
+        mapping.select_columns(["nid"]),
+        id_col="nid",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    withc = labels.join(
+        mapping, join_type="inner", num_partitions=16, on=("nid",)
+    )
+
+    def add_cpart(t: pa.Table) -> pa.Table:
+        cp = t["comp"].to_numpy(zero_copy_only=False) % 64
+        return t.append_column("cpart", pa.array(cp.astype(np.int64)))
+
+    def part_losers(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"image_id": pd.Series([], dtype=object)})
+        m = g.groupby("comp")["image_id"].transform("min")
+        return g.loc[g["image_id"] != m, ["image_id"]]
+
+    losers = (
+        withc.map_batches(add_cpart, batch_format="pyarrow")
+        .groupby("cpart")
+        .map_groups(part_losers, batch_format="pandas")
+        .to_pandas()
+    )
+    return set(losers["image_id"]) if "image_id" in losers.columns else set()
 
 
 def make_finalizer(dup_map_ref, near_ref):

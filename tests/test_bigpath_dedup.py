@@ -73,3 +73,41 @@ def test_big_path_near_dup_uses_distributed_components(corpus, monkeypatch):
         winners, 3, 4, approx_candidates=pipeline.DRIVER_COMBINE_MAX + 1
     )
     assert big == small
+
+
+def test_big_path_near_dup_general_string_ids(corpus, monkeypatch):
+    """Non-contract id strings (unpadded, so string order != numeric order)
+    must take the general hash-keyed CC path — still no driver union-find —
+    and agree with the small path's min-STRING winner per component."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayquality import dedup
+
+    def rename(t: pa.Table) -> pa.Table:
+        # img-000000042 -> n42x : unpadded, min-string != min-numeric
+        nid = pc.binary_join_element_wise(
+            "n",
+            pc.cast(pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64()), pa.string()),
+            "x",
+            "",
+        )
+        return t.set_column(t.schema.get_field_index("image_id"), "image_id", nid)
+
+    winners = (
+        rd.read_parquet(corpus)
+        .select_columns(["phash", "image_id"])
+        .map_batches(rename, batch_format="pyarrow")
+    )
+    small = pipeline.compute_near_losers(winners, 3, 4, approx_candidates=10)
+    assert small, "corpus must contain planted near-dups"
+
+    def boom(pairs):
+        raise AssertionError("driver union-find reached on the general big path")
+
+    monkeypatch.setattr(dedup, "component_losers", boom)
+    big = pipeline.compute_near_losers(
+        winners, 3, 4, approx_candidates=pipeline.DRIVER_COMBINE_MAX + 1
+    )
+    assert big == small
