@@ -1015,6 +1015,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
         )
 
+    def new_users_daily_events(sf):
+        (ev,) = _tables(sf, "events")
+        return relational.new_users_daily(ev)
+
+    def dau_wau_stickiness_events(sf):
+        (ev,) = _tables(sf, "events")
+        return relational.dau_wau_stickiness(ev)
+
     def top_event_type_per_user(sf):
         from rayquality.ops import windows
 
@@ -1587,6 +1595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": q18_large_volume_customers,
         "top_event_type_per_user": top_event_type_per_user,
         "event_type_transitions": event_type_transitions,
+        "new_users_daily_events": new_users_daily_events,
+        "dau_wau_stickiness_events": dau_wau_stickiness_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2191,6 +2201,23 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "new_users_daily_events": (
+            "WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1) "
+            "SELECT day, new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users "
+            "FROM d ORDER BY day"
+        ),
+        "dau_wau_stickiness_events": (
+            "WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), "
+            "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1), "
+            "wau AS (SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau "
+            "FROM dau d JOIN p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day GROUP BY 1) "
+            "SELECT d.day, d.dau, w.wau, "
+            "CAST(FLOOR(1000000.0 * d.dau / w.wau + 0.5) AS BIGINT) AS stickiness_micro "
+            "FROM dau d JOIN wau w ON d.day = w.day ORDER BY d.day"
         ),
         "top_event_type_per_user": (
             "SELECT user_id, event_type, cnt FROM ("

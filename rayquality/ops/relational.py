@@ -642,3 +642,137 @@ def skew_aware_join(
     return hot_joined.select_columns(out_cols).union(
         cold_joined.select_columns(out_cols)
     )
+
+
+def new_users_daily(events: rd.Dataset) -> pd.DataFrame:
+    """Growth curve: first-seen day per user -> (day, new_users, cum_users).
+
+    Two combiner stages, both map-side reduced: MIN(day) per user (the only
+    per-user state, one int per key), then COUNT per first-day. The
+    cumulative sum runs on the driver over O(calendar days) rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by("user_id")
+            .aggregate([("day", "min")])
+        )
+        return g.rename_columns(["user_id", "day"])
+
+    from .combine import combine_partials
+
+    first = combine_partials(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["user_id"],
+        sums=[],
+        mins=["day"],
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["day"]).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "new_users"])
+
+    per_day = combine_partials(
+        first.map_batches(day_counts, batch_format="pyarrow"),
+        keys=["day"],
+        sums=["new_users"],
+    ).to_pandas()
+    per_day["day"] = per_day["day"].astype("datetime64[us]")
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype(np.int64)
+    return per_day[["day", "new_users", "cum_users"]]
+
+
+def dau_wau_stickiness(events: rd.Dataset, window_days: int = 7) -> pd.DataFrame:
+    """DAU / trailing-``window_days`` WAU per observed day ->
+    (day, dau, wau, stickiness_micro), the engagement-stickiness metric.
+
+    Distinct (user, day) pairs come out of one combiner; DAU is a per-day
+    count of those pairs. WAU explodes each pair to the ``window_days``
+    trailing days it contributes to (bounded x7 fan-out of O(distinct
+    pairs) skinny rows), re-distincts (a user active twice in a window
+    must count once), and counts per day. Only O(calendar days) rows ever
+    reach the driver; stickiness is micro-quantized with the same half-up
+    floor the oracle uses.
+    """
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return g.select(["user_id", "day"]).append_column(
+            "one", pa.array(np.ones(g.num_rows, np.int64))
+        )
+
+    from .combine import combine_partials
+
+    pairs = combine_partials(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            pair_partial, batch_format="pyarrow"
+        ),
+        keys=["user_id", "day"],
+        sums=["one"],
+    )
+
+    def dau_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["day"]).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "dau"])
+
+    dau = combine_partials(
+        pairs.map_batches(dau_partial, batch_format="pyarrow"),
+        keys=["day"],
+        sums=["dau"],
+    ).to_pandas()
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        outs_u = np.tile(uid, window_days)
+        outs_d = np.concatenate(
+            [day + np.timedelta64(k, "D") for k in range(window_days)]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(outs_u),
+                "day": pa.array(outs_d),
+                "one": pa.array(np.ones(len(outs_u), np.int64)),
+            }
+        )
+
+    win_pairs = combine_partials(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        keys=["user_id", "day"],
+        sums=["one"],
+    )
+    wau = combine_partials(
+        win_pairs.map_batches(dau_partial, batch_format="pyarrow"),
+        keys=["day"],
+        sums=["dau"],
+    ).to_pandas()
+    wau = wau.rename(columns={"dau": "wau"})
+
+    dau["day"] = dau["day"].astype("datetime64[us]")
+    wau["day"] = wau["day"].astype("datetime64[us]")
+    # observed days only: the explode manufactures up to window_days-1
+    # phantom trailing days past each user's last activity
+    out = dau.merge(wau, on="day", how="inner").sort_values("day").reset_index(drop=True)
+    out["stickiness_micro"] = np.floor(
+        1_000_000.0 * out["dau"].to_numpy(np.float64) / out["wau"].to_numpy(np.float64)
+        + 0.5
+    ).astype(np.int64)
+    return out[["day", "dau", "wau", "stickiness_micro"]]

@@ -520,3 +520,50 @@ def test_type_transitions_real_corpus(rd):
     assert got["prev_type"].tolist() == want["prev_type"].tolist()
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["n"].tolist() == want["size"].tolist()
+
+
+def test_new_users_daily(rd):
+    from rayquality.ops import relational
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = relational.new_users_daily(ev)
+    pdf = pd.read_parquet(f"{SF}/events.parquet").copy()
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    first = pdf.groupby("user_id", as_index=False)["day"].min()
+    want = (
+        first.groupby("day", as_index=False)
+        .size()
+        .rename(columns={"size": "new_users"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    want["cum_users"] = want["new_users"].cumsum()
+    assert got["day"].tolist() == want["day"].tolist()
+    assert got["new_users"].tolist() == want["new_users"].tolist()
+    assert got["cum_users"].tolist() == want["cum_users"].tolist()
+    assert got["cum_users"].iloc[-1] == pdf["user_id"].nunique()
+
+
+def test_dau_wau_stickiness(rd):
+    from rayquality.ops import relational
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = relational.dau_wau_stickiness(ev)
+    pdf = pd.read_parquet(f"{SF}/events.parquet").copy()
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    pairs = pdf[["user_id", "day"]].drop_duplicates()
+    days = sorted(pairs["day"].unique())
+    rows = []
+    for d in days:
+        dau = (pairs["day"] == d).sum()
+        wau = pairs.loc[
+            (pairs["day"] >= d - pd.Timedelta(days=6)) & (pairs["day"] <= d),
+            "user_id",
+        ].nunique()
+        rows.append((d, dau, wau, int(np.floor(1e6 * dau / wau + 0.5))))
+    want = pd.DataFrame(rows, columns=["day", "dau", "wau", "stickiness_micro"])
+    assert got["day"].tolist() == want["day"].tolist()
+    assert got["dau"].tolist() == want["dau"].tolist()
+    assert got["wau"].tolist() == want["wau"].tolist()
+    assert got["stickiness_micro"].tolist() == want["stickiness_micro"].tolist()
+    assert (got["wau"] >= got["dau"]).all()
