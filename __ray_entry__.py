@@ -1015,6 +1015,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
         )
 
+    def rfm_segmentation_orders(sf):
+        from rayquality.ops import analytic
+
+        (orders,) = _tables(sf, "orders")
+        out = analytic.rfm_segmentation(orders).to_pandas()
+        return out.sort_values("c_custkey").reset_index(drop=True)[
+            [
+                "c_custkey",
+                "recency_days",
+                "frequency",
+                "monetary_cents",
+                "r_bucket",
+                "f_bucket",
+                "m_bucket",
+            ]
+        ]
+
     def new_users_daily_events(sf):
         (ev,) = _tables(sf, "events")
         return relational.new_users_daily(ev)
@@ -1597,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": event_type_transitions,
         "new_users_daily_events": new_users_daily_events,
         "dau_wau_stickiness_events": dau_wau_stickiness_events,
+        "rfm_segmentation_orders": rfm_segmentation_orders,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2201,6 +2219,20 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "rfm_segmentation_orders": (
+            "WITH per AS (SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_order, "
+            "CAST(COUNT(*) AS BIGINT) AS frequency, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents "
+            "FROM orders GROUP BY 1), "
+            "per2 AS (SELECT c_custkey, "
+            "CAST(date_diff('day', last_order, (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_days, "
+            "frequency, monetary_cents FROM per) "
+            "SELECT c_custkey, recency_days, frequency, monetary_cents, "
+            "CAST(NTILE(5) OVER (ORDER BY recency_days, c_custkey) AS BIGINT) AS r_bucket, "
+            "CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_bucket, "
+            "CAST(NTILE(5) OVER (ORDER BY monetary_cents, c_custkey) AS BIGINT) AS m_bucket "
+            "FROM per2 ORDER BY c_custkey"
         ),
         "new_users_daily_events": (
             "WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day "

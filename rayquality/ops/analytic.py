@@ -22,6 +22,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -297,29 +298,17 @@ def corr_exact(
     )
 
 
-def ntile_bucketize(
+def ntile_boundaries(
     ds: rd.Dataset,
     value_col: str,
     key_col: str,
     n_buckets: int,
     unit: float = 100.0,
-) -> rd.Dataset:
-    """Global NTILE(n) over (value, key) -> lazy Dataset (key, bucket),
-    exactly matching SQL ``NTILE(n) OVER (ORDER BY cents(value), key)``.
-
-    Quantile bucketing for stratified splits / difficulty tiers. Three
-    passes, none of which shuffles data rows:
-
-    1. distributed value counts of the quantized value (same combiner +
-       bounded-cardinality contract as :func:`sketch.exact_quantiles`);
-       the driver walks cumulative counts to place the n-1 boundary RANKS
-       (NTILE: the first N%n buckets get one extra row).
-    2. only when a boundary rank lands strictly inside a tie run does a
-       second pruned pass fetch the keys AT that value (a filter-read of
-       one value per split boundary) to pick the exact key threshold.
-    3. a stateless broadcast-compare map assigns each row its bucket from
-       the <=n-1 (cents, key) boundary pairs riding the task closure.
-    """
+) -> tuple[np.ndarray, np.ndarray]:
+    """The boundary (cents, key) pairs of a global NTILE(n) over
+    ``ORDER BY cents(value), key`` -> (bc, bk) arrays of length n-1.
+    Shared by :func:`ntile_bucketize` and :func:`rfm_segmentation`; see
+    the former for the three-pass contract."""
     import pyarrow.compute as pc
 
     def counts_partial(t: pa.Table) -> pa.Table:
@@ -395,19 +384,131 @@ def ntile_bucketize(
             final_bounds.append((v, key_threshold[(v, r - before)]))
     bc = np.array([p[0] for p in final_bounds], np.int64)
     bk = np.array([p[1] for p in final_bounds], np.int64)
+    return bc, bk
+
+
+def _ntile_assign(
+    cents: np.ndarray, keys: np.ndarray, bc: np.ndarray, bk: np.ndarray
+) -> np.ndarray:
+    """Bucket per row from the boundary pairs: <= n-1 vectorized compares."""
+    bucket = np.ones(len(cents), np.int64)
+    for i in range(len(bc)):
+        past = (cents > bc[i]) | ((cents == bc[i]) & (keys > bk[i]))
+        bucket += past.astype(np.int64)
+    return bucket
+
+
+def ntile_bucketize(
+    ds: rd.Dataset,
+    value_col: str,
+    key_col: str,
+    n_buckets: int,
+    unit: float = 100.0,
+) -> rd.Dataset:
+    """Global NTILE(n) over (value, key) -> lazy Dataset (key, bucket),
+    exactly matching SQL ``NTILE(n) OVER (ORDER BY cents(value), key)``.
+
+    Quantile bucketing for stratified splits / difficulty tiers. Three
+    passes, none of which shuffles data rows:
+
+    1. distributed value counts of the quantized value (same combiner +
+       bounded-cardinality contract as :func:`sketch.exact_quantiles`);
+       the driver walks cumulative counts to place the n-1 boundary RANKS
+       (NTILE: the first N%n buckets get one extra row).
+    2. only when a boundary rank lands strictly inside a tie run does a
+       second pruned pass fetch the keys AT that value (a filter-read of
+       one value per split boundary) to pick the exact key threshold.
+    3. a stateless broadcast-compare map assigns each row its bucket from
+       the <=n-1 (cents, key) boundary pairs riding the task closure.
+    """
+    bc, bk = ntile_boundaries(ds, value_col, key_col, n_buckets, unit)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = quant.quantize_i64(df[value_col].to_numpy(np.float64), unit)
         k = df[key_col].to_numpy(np.int64)
-        bucket = np.ones(len(c), np.int64)
-        for i in range(len(bc)):  # <= n-1 vectorized compares, n is small
-            past = (c > bc[i]) | ((c == bc[i]) & (k > bk[i]))
-            bucket += past.astype(np.int64)
-        return pd.DataFrame({key_col: k, "bucket": bucket})
+        return pd.DataFrame({key_col: k, "bucket": _ntile_assign(c, k, bc, bk)})
 
     return ds.select_columns([value_col, key_col]).map_batches(
         assign, batch_format="pandas"
     )
+
+
+def rfm_segmentation(orders: rd.Dataset, n_buckets: int = 5) -> rd.Dataset:
+    """RFM customer segmentation -> lazy Dataset (c_custkey, recency_days,
+    frequency, monetary_cents, r_bucket, f_bucket, m_bucket), each bucket
+    an exact ``NTILE(n) OVER (ORDER BY metric, c_custkey)``.
+
+    One combiner pass builds the per-customer (last order, count, sum
+    cents) table — the only O(customers) state, kept distributed and
+    materialized once because four consumers read it (three boundary
+    scans + the assign). Each NTILE reuses :func:`ntile_boundaries`
+    (value-count combine, no row shuffle) and ONE stateless map assigns
+    all three buckets — no joins anywhere.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_custkey": t["o_custkey"],
+                    "last_order": t["o_orderdate"],
+                    "monetary_cents": quant.cents_pa(t["o_totalprice"].combine_chunks()),
+                    "frequency": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("c_custkey")
+            .aggregate([("last_order", "max"), ("monetary_cents", "sum"), ("frequency", "sum")])
+        )
+        return g.rename_columns(["c_custkey", "last_order", "monetary_cents", "frequency"])
+
+    per_cust = _combine.combine_partials(
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["c_custkey"],
+        sums=["monetary_cents", "frequency"],
+        maxs=["last_order"],
+    ).materialize()
+
+    ref_parts = per_cust.map_batches(
+        lambda t: pa.table({"m": [pc.max(t["last_order"]).as_py()]}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    ref = ref_parts["m"].max()
+
+    def add_recency(t: pa.Table) -> pa.Table:
+        last = t["last_order"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        days = ((np.datetime64(ref, "us") - last) // np.timedelta64(1, "D")).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "recency_days": pa.array(days),
+                "frequency": t["frequency"],
+                "monetary_cents": t["monetary_cents"],
+            }
+        )
+
+    derived = per_cust.map_batches(add_recency, batch_format="pyarrow").materialize()
+    bounds = {
+        m: ntile_boundaries(derived, m, "c_custkey", n_buckets, unit=1.0)
+        for m in ("recency_days", "frequency", "monetary_cents")
+    }
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        out = df[["c_custkey", "recency_days", "frequency", "monetary_cents"]].copy()
+        for m, short in (
+            ("recency_days", "r_bucket"),
+            ("frequency", "f_bucket"),
+            ("monetary_cents", "m_bucket"),
+        ):
+            bc, bk = bounds[m]
+            out[short] = _ntile_assign(df[m].to_numpy(np.int64), k, bc, bk)
+        return out
+
+    return derived.map_batches(assign, batch_format="pandas")
 
 
 def grouped_topk(

@@ -567,3 +567,44 @@ def test_dau_wau_stickiness(rd):
     assert got["wau"].tolist() == want["wau"].tolist()
     assert got["stickiness_micro"].tolist() == want["stickiness_micro"].tolist()
     assert (got["wau"] >= got["dau"]).all()
+
+
+def test_rfm_segmentation(rd):
+    from rayquality.ops import analytic
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    got = (
+        analytic.rfm_segmentation(orders)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/orders.parquet").copy()
+    pdf["cents"] = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    per = pdf.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"), frequency=("o_orderkey", "size"), monetary_cents=("cents", "sum")
+    )
+    ref = pdf["o_orderdate"].max()
+    per["recency_days"] = ((ref - per["last"]).dt.days).astype(np.int64)
+    per = per.reset_index().rename(columns={"o_custkey": "c_custkey"}).sort_values("c_custkey")
+
+    def ntile(df, col, n=5):
+        df = df.sort_values([col, "c_custkey"], kind="stable").reset_index(drop=True)
+        total = len(df)
+        base, rem = divmod(total, n)
+        sizes = [base + (1 if b <= rem else 0) for b in range(1, n + 1)]
+        buckets = np.repeat(np.arange(1, n + 1), sizes)
+        return pd.Series(buckets, index=df["c_custkey"].to_numpy())
+
+    for metric, bcol in (
+        ("recency_days", "r_bucket"),
+        ("frequency", "f_bucket"),
+        ("monetary_cents", "m_bucket"),
+    ):
+        want = ntile(per, metric)
+        assert got.set_index("c_custkey")[bcol].to_dict() == want.to_dict(), bcol
+    m = per.set_index("c_custkey")
+    g = got.set_index("c_custkey")
+    assert g["recency_days"].to_dict() == m["recency_days"].to_dict()
+    assert g["frequency"].to_dict() == m["frequency"].to_dict()
+    assert g["monetary_cents"].to_dict() == m["monetary_cents"].to_dict()
