@@ -56,6 +56,17 @@ def entry() -> Any:
     return rd.read_parquet(sorted(glob.glob(os.path.join(summary["final_dir"], "*.parquet"))))
 
 
+def _q_pixel_verified_near_dups(sf_dir: str) -> Any:
+    """Image near-dups: phash band candidates verified by pixel-grid MSE."""
+    import glob
+
+    from rayquality.ops.image import pixel_verified_near_dups
+
+    corpus = _images_corpus(sf_dir)
+    ds = rd.read_parquet(sorted(glob.glob(corpus + "/*.parquet")))
+    return pixel_verified_near_dups(ds, mse_threshold=80.0)
+
+
 def _q_phash_radius(sf_dir: str) -> Any:
     """Near-dup retrieval: corpus images within 8 phash bits of 5 queries."""
     import glob
@@ -1632,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,
         "phash_radius_images": _q_phash_radius,
+        "pixel_verified_near_dups_images": _q_pixel_verified_near_dups,
         "shared_substring_pairs_documents": shared_substring_pairs_documents,
         "kcenter_embeddings": kcenter_embeddings,
         "pagerank_events": pagerank_events,

@@ -267,3 +267,149 @@ def phash_radius_search(
         scan, batch_format="pyarrow"
     ).to_pandas()
     return out.sort_values(["query_id", "hamming", id_col]).reset_index(drop=True)
+
+
+def pixel_verified_near_dups(
+    ds: rd.Dataset,
+    n_bands: int = 4,
+    mse_threshold: float = 80.0,
+    grid: int = 8,
+    num_partitions: int = 8,
+) -> "pd.DataFrame":
+    """Image near-dups verified at the PIXEL level: phash band collisions
+    propose candidate pairs (the cheap, hash-only recall stage), then each
+    pair is scored by the mean squared error of the two images' grid
+    feature vectors — the ground truth the hash only approximates, so
+    phash false positives die here. -> DataFrame (id_a, id_b, mse_micro)
+    sorted, mse ascending within ids.
+
+    Distributed end to end: bands explode from the (int64 phash, id)
+    columns only; the candidate pair kernel is the shared hash-partitioned
+    sweep (``ops/pairs``); pixels are decoded ONCE per image into a
+    ``grid x grid x 3`` vector by the ``image_features`` actor pool
+    (decode amortized per actor, bytes never shuffle); and the two feature
+    lookups are hash joins of the skinny pair list against the skinny
+    feature table. Undecodable images cannot be pixel-verified and drop
+    out (inner-join semantics on decoded_ok).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..phash import band_keys
+    from . import pairs as _pairs
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = band_keys(ph, n_bands)  # (n, n_bands) int64 band keys
+        n = len(ph)
+        idx = np.repeat(np.arange(n), n_bands)
+        return pa.table(
+            {
+                "bkey": pa.array(bk.reshape(-1)),
+                "image_id": t["image_id"].combine_chunks().take(pa.array(idx)),
+            }
+        )
+
+    banded = ds.select_columns(["phash", "image_id"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+    # distinct pairs: a pair sharing M bands comes out of the sweep M times
+    # (and from different key partitions, so the distinct needs its own
+    # pair-hash partition pass — skinny rows only)
+    import pandas as pd
+
+    def add_ppart(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["id_a", "id_b"]], index=False).to_numpy(
+            np.uint64
+        )
+        df = df.copy()
+        df["ppart"] = (h % np.uint64(num_partitions * 8)).astype(np.int64)
+        return df
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    # materialize the two skinny join inputs (candidate pairs; id+vector
+    # features): a fused lazy DAG would run the featurizer ACTOR pool and
+    # the join's shuffle-aggregator actors concurrently, and on a small
+    # cluster the two pools deadlock waiting for each other's CPU slots
+    # (observed hang at num_cpus=4). Both tables are O(candidates) /
+    # O(images x 4*grid^2*3 bytes) — object-store resident, spillable.
+    cand = (
+        _pairs.equal_key_pair_ds(banded, "image_id", "bkey")
+        .map_batches(add_ppart, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(distinct, batch_format="pandas")
+        .materialize()
+    )
+
+    dim = grid * grid * 3
+
+    def pack_feats(t: pa.Table) -> pa.Table:
+        # Arrow's hash join rejects fixed_size_list payload columns; the
+        # float32 vectors ride the two joins as fixed-size BINARY instead
+        # (same bytes, zero-copy both ways)
+        t = t.filter(pc.equal(t["decoded_ok"], True))
+        arr = np.asarray(t["feat"].combine_chunks().flatten(), np.float32)
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim * 4), t.num_rows, [None, pa.py_buffer(arr.tobytes())]
+        )
+        return pa.table({"image_id": t["image_id"], "feat": fsb})
+
+    feats = image_features(ds, grid=grid).map_batches(
+        pack_feats, batch_format="pyarrow"
+    ).materialize()
+
+    j1 = cand.join(
+        feats,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_a",),
+        right_on=("image_id",),
+    ).map_batches(
+        # the join consumes the right key; only feat needs disambiguating
+        lambda t: t.rename_columns(
+            ["feat_a" if c == "feat" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        feats,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_b",),
+        right_on=("image_id",),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "mse_micro": pa.array([], pa.int64()),
+                }
+            )
+        def unpack(col: pa.ChunkedArray) -> np.ndarray:
+            a = col.combine_chunks()
+            raw = np.frombuffer(a.buffers()[1], np.float32)[
+                a.offset * dim : (a.offset + len(a)) * dim
+            ]
+            return raw.reshape(-1, dim).astype(np.float64)
+
+        fa = unpack(t["feat_a"])
+        fb = unpack(t["feat"])
+        mse = ((fa - fb) ** 2).mean(axis=1)
+        keep = mse <= mse_threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(keep)),
+                "id_b": t["id_b"].filter(pa.array(keep)),
+                "mse_micro": pa.array(
+                    np.floor(mse[keep] * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    out = j2.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -608,3 +608,60 @@ def test_rfm_segmentation(rd):
     assert g["recency_days"].to_dict() == m["recency_days"].to_dict()
     assert g["frequency"].to_dict() == m["frequency"].to_dict()
     assert g["monetary_cents"].to_dict() == m["monetary_cents"].to_dict()
+
+
+def test_pixel_verified_near_dups(rd):
+    import glob
+
+    from rayquality import codecs, dedup, synth
+    from rayquality.ops import image as imops
+    from rayquality.phash import band_keys, resize_bilinear
+
+    d = synth.ensure_corpus(1000, seed=42)
+    ds = rd.read_parquet(sorted(glob.glob(d + "/*.parquet")))
+    got = imops.pixel_verified_near_dups(ds, mse_threshold=80.0)
+
+    # naive single-process reference: same bands, same features, same cap
+    pdf = ds.select_columns(["image_id", "phash", "bytes", "fmt"]).to_pandas()
+    bk = band_keys(pdf["phash"].to_numpy(np.int64))
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for row, bands in enumerate(bk):
+        for b in bands:
+            buckets[int(b)].append(row)
+    cand = set()
+    for rows in buckets.values():
+        if len(rows) < 2 or len(rows) > dedup.GROUP_CAP:
+            continue
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = pdf["image_id"].iat[rows[i]], pdf["image_id"].iat[rows[j]]
+                cand.add((min(a, b), max(a, b)))
+
+    def feat(row):
+        try:
+            img = codecs.decode(pdf["bytes"].iat[row], pdf["fmt"].iat[row])
+        except codecs.CodecError:
+            return None
+        return np.stack(
+            [resize_bilinear(img[..., c].astype(np.float64), 8, 8) for c in range(3)],
+            axis=-1,
+        ).ravel()
+
+    feats = {pdf["image_id"].iat[r]: feat(r) for r in range(len(pdf))}
+    want = {}
+    for a, b in cand:
+        fa, fb = feats[a], feats[b]
+        if fa is None or fb is None:
+            continue
+        mse = float(((fa.astype(np.float32) - fb.astype(np.float32)).astype(np.float64) ** 2).mean())
+        if mse <= 80.0:
+            want[(a, b)] = int(np.floor(mse * 1e6 + 0.5))
+    got_map = dict(zip(zip(got["id_a"], got["id_b"]), got["mse_micro"]))
+    assert set(got_map) == set(want)
+    assert want, "corpus must contain verifiable near-dups"
+    # exact duplicates verify at mse == 0
+    assert min(got_map.values()) == 0
+    for k in got_map:
+        assert abs(got_map[k] - want[k]) <= 2  # float32-vs-float64 summation ulp
