@@ -1026,6 +1026,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
         )
 
+    def revenue_concentration_orders(sf):
+        from rayquality.ops import analytic
+
+        (orders,) = _tables(sf, "orders")
+        return analytic.revenue_concentration(orders)
+
     def rfm_segmentation_orders(sf):
         from rayquality.ops import analytic
 
@@ -1626,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily_events": new_users_daily_events,
         "dau_wau_stickiness_events": dau_wau_stickiness_events,
         "rfm_segmentation_orders": rfm_segmentation_orders,
+        "revenue_concentration_orders": revenue_concentration_orders,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2231,6 +2238,19 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "revenue_concentration_orders": (
+            "WITH per AS (SELECT o_custkey, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev "
+            "FROM orders GROUP BY 1), "
+            "s AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC) AS rn FROM per), "
+            "k AS (SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS k, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS total FROM per) "
+            "SELECT k.k AS top_customers, k.n AS total_customers, "
+            "CAST(SUM(s.rev) AS BIGINT) AS top_revenue_cents, "
+            "k.total AS total_revenue_cents, "
+            "CAST(FLOOR(1000000.0 * SUM(s.rev) / k.total + 0.5) AS BIGINT) AS share_micro "
+            "FROM s, k WHERE s.rn <= k.k GROUP BY k.k, k.n, k.total"
         ),
         "rfm_segmentation_orders": (
             "WITH per AS (SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_order, "

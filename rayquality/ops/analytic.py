@@ -796,3 +796,80 @@ def percent_rank_global(
         )
 
     return ds.select_columns([key_col, value_col]).map_batches(score, batch_format="pyarrow")
+
+
+def revenue_concentration(orders: rd.Dataset, top_frac: float = 0.1) -> pd.DataFrame:
+    """Pareto concentration: the revenue share of the top ``top_frac``
+    customers -> one row (top_customers, total_customers,
+    top_revenue_cents, total_revenue_cents, share_micro).
+
+    One combiner pass builds the per-customer revenue table (distributed,
+    materialized once — two consumers). Totals are a two-level sum. The
+    exact top-k revenue sum needs the k-th largest value: a value-count
+    combine over the quantized revenues (same bounded-cardinality contract
+    as :func:`ntile_boundaries` / ``sketch.exact_quantiles``) lets the
+    driver walk cumulative counts from the top; ties at the threshold
+    contribute ``remaining x threshold`` exactly, so the sum is tie-order
+    invariant and matches any ROW_NUMBER oracle.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_custkey": t["o_custkey"],
+                    "rev": quant.cents_pa(t["o_totalprice"].combine_chunks()),
+                }
+            )
+            .group_by("c_custkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["c_custkey", "rev"])
+
+    per_cust = _combine.combine_partials(
+        orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["c_custkey"],
+        sums=["rev"],
+    ).materialize()
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["rev"].combine_chunks())
+        return pa.table(
+            {"rev": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        _combine.combine_partials(
+            per_cust.map_batches(vc_partial, batch_format="pyarrow"),
+            keys=["rev"],
+            sums=["cnt"],
+        )
+        .to_pandas()
+        .sort_values("rev", ascending=False)
+        .reset_index(drop=True)
+    )
+    n = int(counts["cnt"].sum())
+    total = int((counts["rev"].to_numpy(np.int64) * counts["cnt"].to_numpy(np.int64)).sum())
+    k = int(math.ceil(top_frac * n))
+    cum = counts["cnt"].cumsum().to_numpy(np.int64)
+    pos = int(np.searchsorted(cum, k, side="left"))
+    before = int(cum[pos - 1]) if pos else 0
+    full = int(
+        (
+            counts["rev"].to_numpy(np.int64)[:pos] * counts["cnt"].to_numpy(np.int64)[:pos]
+        ).sum()
+    )
+    top_rev = full + (k - before) * int(counts["rev"].iat[pos])
+    share = int(np.floor(1_000_000.0 * top_rev / total + 0.5)) if total else 0
+    return pd.DataFrame(
+        {
+            "top_customers": [np.int64(k)],
+            "total_customers": [np.int64(n)],
+            "top_revenue_cents": [np.int64(top_rev)],
+            "total_revenue_cents": [np.int64(total)],
+            "share_micro": [np.int64(share)],
+        }
+    )

@@ -665,3 +665,23 @@ def test_pixel_verified_near_dups(rd):
     assert min(got_map.values()) == 0
     for k in got_map:
         assert abs(got_map[k] - want[k]) <= 2  # float32-vs-float64 summation ulp
+
+
+def test_revenue_concentration(rd):
+    from rayquality.ops import analytic
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    got = analytic.revenue_concentration(orders)
+    pdf = pd.read_parquet(f"{SF}/orders.parquet").copy()
+    pdf["cents"] = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    per = pdf.groupby("o_custkey")["cents"].sum().sort_values(ascending=False)
+    n = len(per)
+    k = int(np.ceil(0.1 * n))
+    top = int(per.iloc[:k].sum())
+    total = int(per.sum())
+    assert got["top_customers"].iat[0] == k
+    assert got["total_customers"].iat[0] == n
+    assert got["top_revenue_cents"].iat[0] == top
+    assert got["total_revenue_cents"].iat[0] == total
+    assert got["share_micro"].iat[0] == int(np.floor(1e6 * top / total + 0.5))
+    assert got["share_micro"].iat[0] > 100_000  # top decile holds > 10%
