@@ -464,6 +464,18 @@ def run_ops(only: set[str] | None = None, shutdown: bool = True) -> dict:
 
     run("event_paths", n_ev, _event_paths)
 
+    def _pixel_near_dups():
+        import glob as _glob
+
+        from rayquality import synth
+        from rayquality.ops import image as imops
+
+        d = synth.ensure_corpus(20_000, seed=42)
+        ids = rd.read_parquet(sorted(_glob.glob(d + "/*.parquet")))
+        return imops.pixel_verified_near_dups(ids, mse_threshold=80.0)
+
+    run("pixel_near_dups_20k", 20_000, _pixel_near_dups)
+
     # ---- the heavy-tail six (VERDICT r3 item 8): the most expensive
     # BENCH queries at replicated scale so regressions in the expensive
     # tail land in the per-round artifact, not just ad-hoc runs ----------
