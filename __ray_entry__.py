@@ -1066,15 +1066,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "event_type", "cnt"]
         ]
 
-    def event_type_transitions(sf):
-        from rayquality.ops import windows
-
-        (ev,) = _tables(sf, "events")
-        out = windows.type_transitions(ev).to_pandas()
-        return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)[
-            ["prev_type", "event_type", "n"]
-        ]
-
     def cohort_retention_events(sf):
         from rayquality.ops import windows
 
@@ -1628,7 +1619,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "top_event_type_per_user": top_event_type_per_user,
-        "event_type_transitions": event_type_transitions,
         "new_users_daily_events": new_users_daily_events,
         "dau_wau_stickiness_events": dau_wau_stickiness_events,
         "rfm_segmentation_orders": rfm_segmentation_orders,
@@ -2288,12 +2278,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn "
             "FROM events GROUP BY 1, 2) WHERE rn = 1 ORDER BY user_id"
-        ),
-        "event_type_transitions": (
-            "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ("
-            "SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
-            "event_type FROM events) "
-            "WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "q10_returned_item_revenue": (
             "SELECT c.c_custkey, c.c_name, "

@@ -858,53 +858,3 @@ def grouped_mode(
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
-
-
-def type_transitions(
-    events: rd.Dataset,
-    group_col: str = "user_id",
-    order_cols: tuple[str, str] = ("ts", "event_id"),
-    type_col: str = "event_type",
-    n_parts: int = 64,
-) -> rd.Dataset:
-    """Markov transition counts between consecutive per-user event types —
-    (prev_type, type, n) — the matrix behind journey/attribution models.
-
-    Group-hash partition (all of a user's rows co-locate), ONE vectorized
-    sort + ``groupby.shift`` per partition, then per-partition bigram
-    count partials; the final combine moves only O(|types|^2) rows.
-    """
-
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
-        out = df[[group_col, *order_cols, type_col]].copy()
-        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
-        return out
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "prev_type": pd.Series([], dtype=object),
-                    type_col: pd.Series([], dtype=object),
-                    "n": pd.Series([], dtype=np.int64),
-                }
-            )
-        g = g.sort_values([group_col, *order_cols], kind="stable")
-        prev = g.groupby(group_col)[type_col].shift(1)
-        m = prev.notna().to_numpy()
-        pairs = pd.DataFrame(
-            {"prev_type": prev.to_numpy(object)[m], type_col: g[type_col].to_numpy(object)[m]}
-        )
-        out = pairs.groupby(["prev_type", type_col], as_index=False).size()
-        return out.rename(columns={"size": "n"})
-
-    partials = (
-        events.select_columns([group_col, *order_cols, type_col])
-        .map_batches(add_pkey, batch_format="pandas")
-        .groupby("pkey")
-        .map_groups(per_part, batch_format="pandas")
-    )
-    from . import combine as _combine
-
-    return _combine.combine_partials(partials, keys=["prev_type", type_col], sums=["n"])

@@ -492,36 +492,6 @@ def test_grouped_mode_real_corpus(rd):
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["cnt"].tolist() == want["size"].tolist()
 
-
-def test_type_transitions_real_corpus(rd):
-    from rayquality.ops import windows
-
-    ev = rd.read_parquet(f"{SF}/events.parquet")
-    got = (
-        windows.type_transitions(ev)
-        .to_pandas()
-        .sort_values(["prev_type", "event_type"])
-        .reset_index(drop=True)
-    )
-    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
-        ["user_id", "ts", "event_id"], kind="stable"
-    )
-    prev = pdf.groupby("user_id")["event_type"].shift(1)
-    m = prev.notna()
-    pairs = pd.DataFrame(
-        {"prev_type": prev[m].to_numpy(object), "event_type": pdf.loc[m, "event_type"]}
-    )
-    want = (
-        pairs.groupby(["prev_type", "event_type"], as_index=False)
-        .size()
-        .sort_values(["prev_type", "event_type"])
-        .reset_index(drop=True)
-    )
-    assert got["prev_type"].tolist() == want["prev_type"].tolist()
-    assert got["event_type"].tolist() == want["event_type"].tolist()
-    assert got["n"].tolist() == want["size"].tolist()
-
-
 def test_new_users_daily(rd):
     from rayquality.ops import relational
 
