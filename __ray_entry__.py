@@ -1026,6 +1026,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
         )
 
+    def out_of_order_events(sf):
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.out_of_order_stats(ev).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "n_events", "n_late", "max_lateness_us"]
+        ]
+
     def revenue_concentration_orders(sf):
         from rayquality.ops import analytic
 
@@ -1623,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau_stickiness_events": dau_wau_stickiness_events,
         "rfm_segmentation_orders": rfm_segmentation_orders,
         "revenue_concentration_orders": revenue_concentration_orders,
+        "out_of_order_events": out_of_order_events,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2228,6 +2238,16 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "out_of_order_events": (
+            "WITH o AS (SELECT user_id, ts, MAX(ts) OVER (PARTITION BY user_id "
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax "
+            "FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN ts < prevmax THEN 1 ELSE 0 END) AS BIGINT) AS n_late, "
+            "CAST(COALESCE(MAX(CASE WHEN ts < prevmax "
+            "THEN date_diff('microsecond', ts, prevmax) END), 0) AS BIGINT) AS max_lateness_us "
+            "FROM o GROUP BY 1 ORDER BY 1"
         ),
         "revenue_concentration_orders": (
             "WITH per AS (SELECT o_custkey, "

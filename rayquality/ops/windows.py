@@ -858,3 +858,67 @@ def grouped_mode(
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def out_of_order_stats(
+    events: rd.Dataset,
+    group_col: str = "user_id",
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Late-data accounting per key — the watermark-sizing question of a
+    streaming ingest: in arrival order (``arrival_col``), how many events
+    carry a timestamp EARLIER than one already seen, and how far behind
+    the running max do they lag at worst?
+
+    -> lazy Dataset (key, n_events, n_late, max_lateness_us). Group-hash
+    partition, ONE vectorized sort + ``np.maximum.accumulate`` per
+    partition; output is O(keys).
+    """
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
+        out = df[[group_col, arrival_col, ts_col]].copy()
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_late": pd.Series([], dtype=np.int64),
+                    "max_lateness_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([group_col, arrival_col], kind="stable").copy()
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        keys = g[group_col].to_numpy()
+        g["_ts"] = ts
+        gb = g.groupby(group_col, sort=False)["_ts"]
+        # running max of everything seen BEFORE each event, per key
+        # (grouped cummax then shift; first event of a key is never late)
+        prevmax = gb.cummax().groupby(keys, sort=False).shift(1).to_numpy()
+        valid = ~np.isnan(prevmax)
+        late = np.zeros(len(ts), dtype=bool)
+        late[valid] = ts[valid] < prevmax[valid]
+        lateness = np.zeros(len(ts), np.int64)
+        lateness[late] = (prevmax[late] - ts[late]).astype(np.int64)
+        out = pd.DataFrame(
+            {group_col: keys, "late": late.astype(np.int64), "lateness": lateness}
+        )
+        agg = out.groupby(group_col, as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"), max_lateness_us=("lateness", "max")
+        )
+        for c in ("n_events", "n_late", "max_lateness_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return (
+        events.select_columns([group_col, arrival_col, ts_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

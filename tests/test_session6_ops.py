@@ -655,3 +655,61 @@ def test_revenue_concentration(rd):
     assert got["total_revenue_cents"].iat[0] == total
     assert got["share_micro"].iat[0] == int(np.floor(1e6 * top / total + 0.5))
     assert got["share_micro"].iat[0] > 100_000  # top decile holds > 10%
+
+
+def test_out_of_order_stats(rd):
+    from rayquality.ops import windows
+
+    # synthetic: user 1 strictly ordered, user 2 has two late events
+    base = pd.Timestamp("2025-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 2, 2],
+            "event_id": [10, 11, 12, 20, 21, 22, 23],
+            "ts": [
+                base,
+                base + pd.Timedelta(seconds=1),
+                base + pd.Timedelta(seconds=2),
+                base + pd.Timedelta(seconds=5),
+                base + pd.Timedelta(seconds=3),  # 2s late
+                base + pd.Timedelta(seconds=9),
+                base + pd.Timedelta(seconds=4),  # 5s late
+            ],
+        }
+    )
+    got = (
+        windows.out_of_order_stats(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == [3, 4]
+    assert got["n_late"].tolist() == [0, 2]
+    assert got["max_lateness_us"].tolist() == [0, 5_000_000]
+
+    # real corpus: parity vs a naive pandas reference
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        windows.out_of_order_stats(ev)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "event_id"], kind="stable"
+    )
+    prev = pdf.groupby("user_id")["ts"].cummax().groupby(pdf["user_id"].to_numpy()).shift(1)
+    late = pdf["ts"] < prev
+    lateness = (prev - pdf["ts"]).dt.total_seconds().mul(1e6).where(late, 0)
+    want = (
+        pd.DataFrame(
+            {"user_id": pdf["user_id"], "late": late.astype(np.int64), "lat": lateness}
+        )
+        .groupby("user_id", as_index=False)
+        .agg(n_events=("late", "size"), n_late=("late", "sum"), max_lateness_us=("lat", "max"))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["n_late"].tolist() == want["n_late"].tolist()
+    assert got["max_lateness_us"].tolist() == want["max_lateness_us"].astype(np.int64).tolist()
