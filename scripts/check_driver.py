@@ -57,8 +57,12 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1] if len(args) > 1 else None
     import ray
 
     if not ray.is_initialized():
@@ -72,6 +76,7 @@ def main() -> None:
     qs = e.queries()
     sqls = e.oracle_sql()
     fails = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and only not in name:
             continue
@@ -81,18 +86,44 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"{name:35s} EXEC-ERROR {type(exc).__name__}: {exc}")
             fails += 1
+            records[name] = {
+                "oracled": name in sqls,
+                "ok": False,
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
             continue
         dt = time.time() - t0
         if name in sqls:
             want = con.sql(sqls[name]).df()
             verdict = compare(name, got, want)
+            records[name] = {
+                "oracled": True,
+                "ok": verdict == "OK",
+                "rows": len(got),
+                "oracle_rows": len(want),
+                "sec": round(dt, 1),
+                "err": None if verdict == "OK" else verdict[:300],
+            }
         else:
             verdict = f"rows-only ({len(got)} rows)"
+            records[name] = {
+                "oracled": False,
+                "ok": True,
+                "rows": len(got),
+                "sec": round(dt, 1),
+                "err": None,
+            }
         status = verdict if verdict.startswith(("OK", "rows-only")) else f"FAIL {verdict}"
         if status.startswith("FAIL"):
             fails += 1
         print(f"{name:35s} {dt:6.1f}s  {status}")
     print("FAILURES:", fails)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": records}, f, indent=1)
+        print("wrote", json_out)
     ray.shutdown()
 
 
