@@ -1026,6 +1026,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["event_id", "user_id", "delta_cents"]]
         )
 
+    def label_centroids_embeddings(sf):
+        from rayquality.ops import cluster
+
+        (emb,) = _tables(sf, "embeddings")
+        return cluster.label_centroids(emb)
+
     def out_of_order_events(sf):
         from rayquality.ops import windows
 
@@ -1633,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segmentation_orders": rfm_segmentation_orders,
         "revenue_concentration_orders": revenue_concentration_orders,
         "out_of_order_events": out_of_order_events,
+        "label_centroids_embeddings": label_centroids_embeddings,
         # ---- rows-only / approximate / model-backed (no SQL oracle) --------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
@@ -2238,6 +2245,13 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY revenue_c100 DESC, n.n_name"
+        ),
+        "label_centroids_embeddings": (
+            "SELECT CAST(label AS BIGINT) AS label, t.i AS i, "
+            "CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM embeddings e, UNNEST(range(len(e.embedding))) AS t(i) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "out_of_order_events": (
             "WITH o AS (SELECT user_id, ts, MAX(ts) OVER (PARTITION BY user_id "

@@ -304,3 +304,47 @@ def kcenter_select(
             make_update(cref), batch_format="pyarrow"
         ).materialize()
     return pd.DataFrame(picks, columns=["rank", "id", "radius_sq"])
+
+
+def label_centroids(embeddings: rd.Dataset, scale: float = 1_000_000.0) -> pd.DataFrame:
+    """Exact per-label centroid partials in LONG form -> DataFrame
+    (label, i, sum_micro, n): each embedding element quantizes to integer
+    micro-units BEFORE summing, so the result is block-order independent
+    and bit-exact against SQL (float sums are order-dependent; integer
+    sums are not). Consumers derive the centroid as sum_micro / n.
+
+    One combiner pass: each batch reduces to a (labels x dim) int64 matrix
+    + label counts; the combine shuffle moves O(labels x dim) rows total.
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        emb = t["embedding"].combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        vals = np.asarray(emb.flatten(), np.float32).astype(np.float64).reshape(-1, dim)
+        q = np.floor(vals * scale + 0.5).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, dim),
+                "i": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                "sum_micro": sums.reshape(-1),
+                "n": np.repeat(cnt, dim),
+            }
+        )
+
+    from . import combine as _combine
+
+    out = _combine.combine_partials(
+        embeddings.select_columns(["label", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["label", "i"],
+        sums=["sum_micro", "n"],
+    ).to_pandas()
+    return out.sort_values(["label", "i"]).reset_index(drop=True)[
+        ["label", "i", "sum_micro", "n"]
+    ]

@@ -713,3 +713,20 @@ def test_out_of_order_stats(rd):
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["n_late"].tolist() == want["n_late"].tolist()
     assert got["max_lateness_us"].tolist() == want["max_lateness_us"].astype(np.int64).tolist()
+
+
+def test_label_centroids(rd):
+    from rayquality.ops import cluster
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = cluster.label_centroids(emb)
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mats = {}
+    for lab, grp in pdf.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        mats[int(lab)] = (np.floor(m * 1e6 + 0.5).astype(np.int64).sum(axis=0), len(grp))
+    for lab, (sums, n) in mats.items():
+        sl = got[got["label"] == lab].sort_values("i")
+        assert sl["sum_micro"].to_numpy().tolist() == sums.tolist()
+        assert (sl["n"] == n).all()
+    assert got["label"].nunique() == len(mats)
