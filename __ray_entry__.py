@@ -1517,6 +1517,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (certification rotation: these 58 were locally green in r3 but had
         # never received a driver-issued row; the 50 already-certified r3
         # queries move past the window — see VERDICT.md round-3 item 1)
+        #
+        # ROUND-5 ROTATION PLAN (apply after reading CORRECTNESS_r04.json):
+        # move these 17 into the front of the window — the 8 entries at
+        # positions 51-58 below (corpus_bigram_nll_documents ..
+        # gap_quantiles_by_type_events) plus the 9 added in round 4
+        # (q10_returned_item_revenue, q18_large_volume_customers,
+        # top_event_type_per_user, new_users_daily_events,
+        # dau_wau_stickiness_events, rfm_segmentation_orders,
+        # revenue_concentration_orders, out_of_order_events,
+        # label_centroids_embeddings) plus any r04 red rows; fill the rest
+        # with re-certs, and update test_gate_window_rotation_contract.
+        # CORRECTNESS_LOCAL_r04.json holds the full local sf0.01 gate.
         "heavy_hitters_orders": heavy_hitters_orders,
         "decontaminate_documents": decontaminate_documents,
         "training_shuffle_documents": training_shuffle_documents,
