@@ -1508,27 +1508,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytic.grouped_slope(ds, "event_type", "hour", "value")
 
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST 50
-    # entries only (CORRECTNESS_r02 capped there), so every query with an
-    # oracle_sql() entry (50 of them) comes first and every rows-only /
-    # approximate query after — no oracled query may be stranded outside
-    # the gate window (VERDICT r2 item 1).
+    # entries only. Round-5 rotation: the 27 entries never driver-certified
+    # across CORRECTNESS_r01..r04.json lead the window (17 oracled + 10
+    # rows-only), then 23 oracled re-certs — cumulative driver certification
+    # reaches 140/140 when CORRECTNESS_r05.json lands green.
     return {
-        # ---- oracled, rotated into the 50-slot gate window this round ------
-        # (certification rotation: these 58 were locally green in r3 but had
-        # never received a driver-issued row; the 50 already-certified r3
-        # queries move past the window — see VERDICT.md round-3 item 1)
-        #
-        # ROUND-5 ROTATION PLAN (apply after reading CORRECTNESS_r04.json):
-        # move these 17 into the front of the window — the 8 entries at
-        # positions 51-58 below (corpus_bigram_nll_documents ..
-        # gap_quantiles_by_type_events) plus the 9 added in round 4
-        # (q10_returned_item_revenue, q18_large_volume_customers,
-        # top_event_type_per_user, new_users_daily_events,
-        # dau_wau_stickiness_events, rfm_segmentation_orders,
-        # revenue_concentration_orders, out_of_order_events,
-        # label_centroids_embeddings) plus any r04 red rows; fill the rest
-        # with re-certs, and update test_gate_window_rotation_contract.
-        # CORRECTNESS_LOCAL_r04.json holds the full local sf0.01 gate.
+        # ---- ROUND-5 GATE WINDOW (first 50) --------------------------------
+        # The driver certifies only the first 50 entries. r5 rotation: the 27
+        # entries never driver-certified in r1-r4 (17 oracled + 10 rows-only)
+        # come first, closing cumulative driver certification to 140/140,
+        # followed by 23 oracled re-certs. CORRECTNESS_r01..r04.json are the
+        # cumulative record; test_gate_window_rotation_contract pins this.
+        # -- 17 oracled, never certified --
+        "corpus_bigram_nll_documents": corpus_bigram_nll_documents,
+        "event_paths_users": event_paths_users,
+        "hourly_anomalies_events": hourly_anomalies_events,
+        "dup_rate_by_source_documents": dup_rate_by_source_documents,
+        "event_transitions_users": event_transitions_users,
+        "percent_rank_orders": percent_rank_orders,
+        "freshness_by_type_events": freshness_by_type_events,
+        "gap_quantiles_by_type_events": gap_quantiles_by_type_events,
+        "q10_returned_item_revenue": q10_returned_item_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "top_event_type_per_user": top_event_type_per_user,
+        "new_users_daily_events": new_users_daily_events,
+        "dau_wau_stickiness_events": dau_wau_stickiness_events,
+        "rfm_segmentation_orders": rfm_segmentation_orders,
+        "revenue_concentration_orders": revenue_concentration_orders,
+        "out_of_order_events": out_of_order_events,
+        "label_centroids_embeddings": label_centroids_embeddings,
+        # -- 10 rows-only / approximate, never certified (driver records the
+        #    weaker rows-only check for these; no oracle_sql entry exists) --
+        "approx_quantiles_price": approx_quantiles_price,
+        "augment_images_sample": augment_images_sample,
+        "phash_radius_images": _q_phash_radius,
+        "pixel_verified_near_dups_images": _q_pixel_verified_near_dups,
+        "shared_substring_pairs_documents": shared_substring_pairs_documents,
+        "kcenter_embeddings": kcenter_embeddings,
+        "pagerank_events": pagerank_events,
+        "approx_distinct_per_type_events": approx_distinct_per_type_events,
+        "pq_search_embeddings": pq_search_embeddings,
+        "range_sorted_write_orders": range_sorted_write_orders,
+        # -- 23 oracled re-certs (driver-certified green in r1-r3) --
+        "completeness_customer": completeness_customer,
+        "duplicates_orders_custkey": duplicates_orders_custkey,
+        "duplicate_values_orders": duplicate_values_orders,
+        "composite_dup_lineitem": composite_dup_lineitem,
+        "pattern_customer_name": pattern_customer_name,
+        "pattern_events_type": pattern_events_type,
+        "integrity_orders_customer": integrity_orders_customer,
+        "integrity_lineitem_orders": integrity_lineitem_orders,
+        "q1_pricing_summary": q1_pricing_summary,
+        "events_hourly": events_hourly,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "token_counts_documents": token_counts_documents,
+        "text_quality_documents": text_quality_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "tfidf_top_terms_documents": tfidf_top_terms_documents,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
+        "dedup_embedding_documents": dedup_embedding_documents,
+        "fk_discovery": fk_discovery,
+        "ann_cosine_topk": ann_cosine_topk,
+        "user_sessions": user_sessions,
+        "sliding_window_events": sliding_window_events,
+        "asof_last_order": asof_last_order,
+        # ---- past the window: all remaining oracled entries ----------------
         "heavy_hitters_orders": heavy_hitters_orders,
         "decontaminate_documents": decontaminate_documents,
         "training_shuffle_documents": training_shuffle_documents,
@@ -1579,40 +1624,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "growth_accounting_events": growth_accounting_events,
         "changelog_merge_orders": changelog_merge_orders,
         "join_cardinality_events_orders": join_cardinality_events_orders,
-        "corpus_bigram_nll_documents": corpus_bigram_nll_documents,
-        "event_paths_users": event_paths_users,
-        "hourly_anomalies_events": hourly_anomalies_events,
-        "dup_rate_by_source_documents": dup_rate_by_source_documents,
-        "event_transitions_users": event_transitions_users,
-        "percent_rank_orders": percent_rank_orders,
-        "freshness_by_type_events": freshness_by_type_events,
-        "gap_quantiles_by_type_events": gap_quantiles_by_type_events,
-        # ---- oracled, driver-certified green in CORRECTNESS_r03 ------------
-        # (all 50 hash-matched in round 3; moved past the window so the
-        # rotation above gets its driver certificates)
-        "completeness_customer": completeness_customer,
-        "duplicates_orders_custkey": duplicates_orders_custkey,
-        "duplicate_values_orders": duplicate_values_orders,
-        "composite_dup_lineitem": composite_dup_lineitem,
-        "pattern_customer_name": pattern_customer_name,
-        "pattern_events_type": pattern_events_type,
-        "integrity_orders_customer": integrity_orders_customer,
-        "integrity_lineitem_orders": integrity_lineitem_orders,
-        "q1_pricing_summary": q1_pricing_summary,
-        "events_hourly": events_hourly,
-        "top_customers_by_revenue": top_customers_by_revenue,
-        "token_counts_documents": token_counts_documents,
-        "text_quality_documents": text_quality_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "tfidf_top_terms_documents": tfidf_top_terms_documents,
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_ngram_jaccard_documents": dedup_ngram_jaccard_documents,
-        "dedup_embedding_documents": dedup_embedding_documents,
-        "fk_discovery": fk_discovery,
-        "ann_cosine_topk": ann_cosine_topk,
-        "user_sessions": user_sessions,
-        "sliding_window_events": sliding_window_events,
-        "asof_last_order": asof_last_order,
         "range_join_cooccur_events": range_join_cooccur_events,
         "sample_orders_mod": sample_orders_mod,
         "revenue_by_segment": revenue_by_segment,
@@ -1640,19 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_delta_events": lag_delta_events,
         "cohort_retention_events": cohort_retention_events,
         "quantiles_lineitem_qty": quantiles_lineitem_qty,
-        # ---- new in round 4 (oracled, past the window) ----------------------
-        # rotate into the r5 gate window together with the 8 remaining
-        # uncertified entries (positions 51-58 above)
-        "q10_returned_item_revenue": q10_returned_item_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "top_event_type_per_user": top_event_type_per_user,
-        "new_users_daily_events": new_users_daily_events,
-        "dau_wau_stickiness_events": dau_wau_stickiness_events,
-        "rfm_segmentation_orders": rfm_segmentation_orders,
-        "revenue_concentration_orders": revenue_concentration_orders,
-        "out_of_order_events": out_of_order_events,
-        "label_centroids_embeddings": label_centroids_embeddings,
-        # ---- rows-only / approximate / model-backed (no SQL oracle) --------
+        # ---- past the window: remaining rows-only / approximate ------------
         "lang_ppl_documents": lang_ppl_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
@@ -1662,20 +1661,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_index_topk": ann_ivf_index_topk,
         "doc_quality_filter": doc_quality_filter,
-        "approx_quantiles_price": approx_quantiles_price,
         "approx_distinct_orders": approx_distinct_orders,
         "image_features_sample": image_features_sample,
-        "augment_images_sample": augment_images_sample,
         "quality_filter_images": _q_quality_filter,
         "multimodal_decode_stats": _q_decode_stats,
-        "phash_radius_images": _q_phash_radius,
-        "pixel_verified_near_dups_images": _q_pixel_verified_near_dups,
-        "shared_substring_pairs_documents": shared_substring_pairs_documents,
-        "kcenter_embeddings": kcenter_embeddings,
-        "pagerank_events": pagerank_events,
-        "approx_distinct_per_type_events": approx_distinct_per_type_events,
-        "pq_search_embeddings": pq_search_embeddings,
-        "range_sorted_write_orders": range_sorted_write_orders,
     }
 
 

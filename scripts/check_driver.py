@@ -57,6 +57,9 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
 
 
 def main() -> None:
+    bad_json = [a for a in sys.argv[1:] if a.startswith("--json") and "=" not in a]
+    if bad_json:
+        sys.exit("error: --json requires a path — use --json=PATH")
     args = [a for a in sys.argv[1:] if not a.startswith("--json")]
     json_out = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
