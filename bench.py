@@ -274,10 +274,15 @@ def _ann_bench(sf: float) -> dict:
     codes = ann.pq_encode(ds, books).materialize()
     pq_build = time.time() - t0
     # flat PQ at the full query set: the row-gather + f32-topk ADC kernel
-    # (ops/ann.py _adc_topk) made the exhaustive scan faster than brute
+    # (ops/ann.py _adc_topk). Flat PQ is the MEMORY path (codes are 32x
+    # smaller than the float vectors; search time lands around brute parity
+    # and swings with host memory bandwidth — VERDICT r4 item 3), so the
+    # artifact reports pq_memory_ratio + pq_search_sec, not a "speedup".
     t0 = time.time()
     ann.pq_search(codes, books, qdf.reset_index(drop=True), k=10)
     pq_search_t = time.time() - t0
+    dim = len(qdf["embedding"].iloc[0])
+    pq_mem_ratio = dim * 4 / 8  # float32 vector bytes / m=8 code bytes
     # IVF-PQ: IO-pruned cells x PQ codes — probe n_probe/n_cells of the
     # gather volume pure PQ pays
     ivfpq_path = f"/tmp/rayquality_ivfpq_bench/n{n}"
@@ -304,7 +309,7 @@ def _ann_bench(sf: float) -> dict:
         "index_speedup_vs_brute": round(brute / ivf_idx, 2),
         "pq_train_encode_sec": round(pq_build, 3),
         "pq_search_sec": round(pq_search_t, 3),
-        "pq_speedup_vs_brute": round(brute / pq_search_t, 2),
+        "pq_memory_ratio": round(pq_mem_ratio, 1),
         "ivfpq_build_sec": round(ivfpq_build, 3),
         "ivfpq_search_sec": round(ivfpq_search, 3),
         "ivfpq_speedup_vs_brute": round(brute / ivfpq_search, 2),

@@ -29,6 +29,8 @@ import ray.data as rd
 from . import combine as _combine
 from . import quant
 
+from rayquality.pool import default_n_parts
+
 
 def rollup_revenue(orders: rd.Dataset) -> pd.DataFrame:
     """ROLLUP(year, status) revenue subtotals -> DataFrame
@@ -740,7 +742,7 @@ def percent_rank_global(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Global percent-rank of a money column without a global sort — the
     rank-normalization feature transform (percent_rank is the first step
@@ -759,6 +761,8 @@ def percent_rank_global(
 
     -> lazy Dataset (key, value_cents, pct_micro); O(rows) output streams.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     from . import quant
     from .combine import combine_partials
 

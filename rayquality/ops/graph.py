@@ -57,6 +57,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from rayquality.pool import default_n_parts
+
 _KNUTH = np.uint64(2654435761)
 
 
@@ -148,7 +150,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 64,
-    n_parts: int = 64,
+    n_parts: int | None = None,
     work_dir: str | None = None,
 ) -> rd.Dataset:
     """Label every node with the MINIMUM node id of its connected
@@ -162,6 +164,8 @@ def connected_components(
     (a 64-round graph is not a dedup graph — raise the cap explicitly if
     you mean it).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     P = max(2, int(n_parts))  # num_returns=P needs a real fan-out
     tmp = work_dir or tempfile.mkdtemp(prefix="rayquality_cc_")
     adj_path = os.path.join(tmp, "adj")
@@ -353,7 +357,7 @@ def pagerank(
     damping: float = 0.85,
     max_iters: int = 30,
     tol: float = 1e-8,
-    n_parts: int = 64,
+    n_parts: int | None = None,
     work_dir: str | None = None,
 ) -> rd.Dataset:
     """Distributed PageRank (power iteration with dangling-mass
@@ -372,6 +376,8 @@ def pagerank(
     (power iteration converges geometrically at rate ``damping``; no
     error raise — partial convergence is still a valid ranking).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     P = max(2, int(n_parts))
     tmp = work_dir or tempfile.mkdtemp(prefix="rayquality_pr_")
     adj_path = os.path.join(tmp, "adj")

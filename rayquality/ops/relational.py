@@ -16,6 +16,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from rayquality.pool import default_n_parts
+
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     from .quant import cents_pa
@@ -340,7 +342,7 @@ def distinct_per_group(
     ds: rd.Dataset,
     group_col: str,
     value_col: str,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """COUNT(DISTINCT value) per group without a wide shuffle.
 
@@ -352,6 +354,8 @@ def distinct_per_group(
     counted in its own hash partition. Shuffled volume is O(distinct
     pairs), never O(rows); the final groupby is O(groups x n_parts).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[group_col, value_col]].dropna(subset=[value_col]).drop_duplicates()
@@ -432,7 +436,7 @@ def pivot_counts(
     group_col: str,
     pivot_col: str,
     categories: list[str],
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Pivot long->wide: one row per group with a count column per
     category (the one-hot/crosstab feature builder for ML tables).
@@ -443,6 +447,8 @@ def pivot_counts(
     the hash-partition kernel, so the shuffle carries one row per (group,
     batch) at most. SQL: SUM(CASE WHEN pivot = c THEN 1 ELSE 0 END) per c.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     cats = list(categories)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

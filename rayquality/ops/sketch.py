@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from rayquality.pool import default_n_parts
+
 _C1 = np.uint64(0x9E3779B97F4A7C15)
 _C2 = np.uint64(0xBF58476D1CE4E5B9)
 _C3 = np.uint64(0x94D049BB133111EB)
@@ -387,7 +389,7 @@ def grouped_quantiles(
     group_col: str,
     value_col: str,
     qs: list[float],
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """EXACT discrete quantiles PER GROUP (the grouped analog of
     :func:`exact_quantiles`): per-batch (group, value) value-counts
@@ -399,6 +401,8 @@ def grouped_quantiles(
     Same bounded-cardinality contract as exact_quantiles, per group.
     Output: (group_col, q, value).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     import math
 
     qs = list(qs)

@@ -24,19 +24,23 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from rayquality.pool import default_n_parts
+
 
 def snapshot_diff(
     old: rd.Dataset,
     new: rd.Dataset,
     id_col: str,
     compare_cols: list[str],
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Diff two snapshots keyed by ``id_col`` -> lazy
     ``(id_col, status)`` with status in {'added', 'removed', 'changed'};
     unchanged keys are omitted. Keys must be unique per snapshot (it is a
     primary-key diff, not a multiset diff).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def tag(side: int):
         def per_batch(df: pd.DataFrame) -> pd.DataFrame:

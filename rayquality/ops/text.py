@@ -19,6 +19,8 @@ import ray.data as rd
 from ..models import langid, perplexity
 from . import quant
 
+from rayquality.pool import default_n_parts
+
 
 def token_counts(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Whitespace token counts: one RE2 scan per batch (SQL: regexp_extract_all)."""
@@ -192,7 +194,7 @@ def tfidf_top_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Per-document top-k TF-IDF terms — the keyword-extraction stage of a
     text-curation pipeline, as a pure two-shuffle streaming plan (no
@@ -214,6 +216,8 @@ def tfidf_top_terms(
 
     Output: (id, term, score_micro, rank).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.lower().str.split()

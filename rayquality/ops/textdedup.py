@@ -20,6 +20,8 @@ from ray.data.aggregate import Count, Max, Min
 from .. import dedup as _dedup
 from . import pairs as _pairs
 
+from rayquality.pool import default_n_parts
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -104,7 +106,7 @@ def _shingle_table(t: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
 
 
 def exact_dedup(
-    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_parts: int = 64
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_parts: int | None = None
 ) -> rd.Dataset:
     """Keep min(id) per distinct content. The shuffle moves 16-byte content
     hashes, not document bodies (equivalent to GROUP BY text when md5 is
@@ -112,6 +114,8 @@ def exact_dedup(
     hash per batch) -> hash partition -> vectorized per-partition min —
     the hash-partition kernel, not the sort-based Dataset.groupby
     aggregate (measured slower on skinny partials)."""
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         hs = [
@@ -143,7 +147,7 @@ def exact_dup_clusters(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Per-document duplicate-cluster labels: every row gets
     ``cluster_id = min(id)`` among rows with identical content.
@@ -158,6 +162,8 @@ def exact_dup_clusters(
     (equivalent to ``MIN(id) OVER (PARTITION BY text)`` when md5 is
     collision-free).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_hash(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in t[text_col].to_pylist()]
@@ -581,7 +587,7 @@ def embedding_lsh_pairs(
 
 
 def normalized_dedup(
-    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_parts: int = 64
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_parts: int | None = None
 ) -> rd.Dataset:
     """Exact dedup after canonical text normalization (lowercase, every
     non-alphanumeric run -> one space, trimmed): catches the
@@ -592,6 +598,8 @@ def normalized_dedup(
     'g'))`` — identical semantics for the Python re engine and RE2 on
     this character class.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         s = (

@@ -15,9 +15,11 @@ import ray.data as rd
 
 from . import quant
 
+from rayquality.pool import default_n_parts
+
 
 def sessionize(
-    events: rd.Dataset, gap_minutes: int = 30, n_parts: int = 64
+    events: rd.Dataset, gap_minutes: int = 30, n_parts: int | None = None
 ) -> rd.Dataset:
     """Session counts per user: a session break is a gap > ``gap_minutes``.
 
@@ -29,6 +31,8 @@ def sessionize(
     — the dataset at scale — so it streams; consumers collect/sort only
     what they need.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -156,7 +160,7 @@ _H32 = np.uint64(1 << 32)
 
 
 def stratified_sample(
-    ds: rd.Dataset, group_col: str, key_col: str, n: int, n_parts: int = 64
+    ds: rd.Dataset, group_col: str, key_col: str, n: int, n_parts: int | None = None
 ) -> pd.DataFrame:
     """Deterministic stratified sample: exactly ``n`` rows per stratum
     (fewer if the stratum is smaller), chosen by a keyed pseudo-random
@@ -175,6 +179,8 @@ def stratified_sample(
     - per-partition vectorized top-n = the final answer (no driver merge
       beyond concatenating partition outputs).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def block_topn(df: pd.DataFrame) -> pd.DataFrame:
         k = df[key_col].to_numpy(np.int64).astype(np.uint64)
@@ -241,7 +247,7 @@ def running_total(
     order_col: str,
     value_col: str,
     id_col: str,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Per-group running total — ``SUM(cents) OVER (PARTITION BY group
     ORDER BY order_col, id ROWS UNBOUNDED PRECEDING)`` without a global
@@ -251,6 +257,8 @@ def running_total(
 
     Output: (id_col, group_col, cum_cents).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
@@ -279,7 +287,7 @@ def lag_delta(
     order_col: str,
     value_col: str,
     id_col: str,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Per-group first difference — ``cents - COALESCE(LAG(cents), cents)``
     over (PARTITION BY group ORDER BY order, id): group-hash partitions,
@@ -290,6 +298,8 @@ def lag_delta(
 
     Output: (id_col, group_col, delta_cents).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
@@ -348,7 +358,7 @@ def grouped_rank(
     order_col: str,
     tiebreak_col: str,
     ascending: bool = False,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Window-function analog of ``ROW_NUMBER() OVER (PARTITION BY group
     ORDER BY order_col [DESC], tiebreak)`` without a global sort: hash
@@ -358,6 +368,8 @@ def grouped_rank(
     Output: (tiebreak_col, group_col, rank). The tiebreak makes the rank
     total and deterministic even with duplicate order values.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
@@ -390,7 +402,7 @@ def cohort_retention(
     events: rd.Dataset,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """Weekly cohort retention: users grouped by their FIRST active week
     (Monday-start), counted distinctly at each week offset they return.
@@ -408,6 +420,8 @@ def cohort_retention(
 
     Output: (cohort_week, offset_weeks, n_users).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def week_of(ts: pd.Series) -> np.ndarray:
         us = ts.astype("datetime64[us]").to_numpy().view(np.int64)
@@ -453,7 +467,7 @@ def rolling_sum(
     value_col: str,
     id_col: str,
     preceding: int = 3,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Per-group rolling sum over the last ``preceding``+1 rows —
     ``SUM(cents) OVER (PARTITION BY g ORDER BY o, id ROWS BETWEEN p
@@ -463,6 +477,8 @@ def rolling_sum(
 
     Output: (id_col, group_col, win_cents).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
@@ -506,7 +522,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """Ordered funnel conversion: how many users performed step k at or
     after their (recursively defined) completion time of step k-1.
@@ -519,6 +535,8 @@ def funnel_counts(
 
     Output: (step_idx, step, n_users).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
     steps = list(steps)
     int_max = np.iinfo(np.int64).max
 
@@ -659,7 +677,7 @@ def grouped_hash_sample(
 
 
 def event_paths(
-    events: rd.Dataset, max_events: int = 50, n_parts: int = 64
+    events: rd.Dataset, max_events: int = 50, n_parts: int | None = None
 ) -> rd.Dataset:
     """Per-user ordered event-type path (``a>b>c``), the journey-mining
     primitive behind funnel discovery / markov-chain attribution.
@@ -674,6 +692,8 @@ def event_paths(
 
     -> lazy Dataset (user_id, n_events, path), O(users) rows.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
@@ -708,7 +728,7 @@ def event_paths(
     )
 
 
-def event_transitions(events: rd.Dataset, n_parts: int = 64) -> pd.DataFrame:
+def event_transitions(events: rd.Dataset, n_parts: int | None = None) -> pd.DataFrame:
     """First-order Markov transition counts between consecutive event
     types per user — the matrix behind journey attribution / next-event
     prediction baselines.
@@ -722,6 +742,8 @@ def event_transitions(events: rd.Dataset, n_parts: int = 64) -> pd.DataFrame:
 
     Output: (from_type, to_type, n), int64-exact.
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
@@ -761,7 +783,7 @@ def event_transitions(events: rd.Dataset, n_parts: int = 64) -> pd.DataFrame:
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
 
-def inter_event_gaps(events: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+def inter_event_gaps(events: rd.Dataset, n_parts: int | None = None) -> rd.Dataset:
     """Seconds between consecutive SAME-TYPE events of the SAME user ->
     lazy Dataset (event_type, gap_s) — the raw material for cadence
     profiling (feed :func:`rayquality.ops.sketch.grouped_quantiles` for
@@ -775,6 +797,8 @@ def inter_event_gaps(events: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
     integer arithmetic on both engine and oracle sides. Null event types
     are excluded (the resample/freshness convention).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -815,7 +839,7 @@ def grouped_mode(
     ds: rd.Dataset,
     key_col: str,
     val_col: str,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Most frequent ``val_col`` per ``key_col`` (the per-key argmax /
     MODE() primitive) with deterministic ties: count desc, value asc.
@@ -826,6 +850,8 @@ def grouped_mode(
     vectorized sum + sort + ``drop_duplicates(key)`` argmax. Output is
     O(distinct keys) rows: (key, val, cnt).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def partial(t: pa.Table) -> pd.DataFrame:
         g = (
@@ -865,7 +891,7 @@ def out_of_order_stats(
     group_col: str = "user_id",
     arrival_col: str = "event_id",
     ts_col: str = "ts",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Late-data accounting per key — the watermark-sizing question of a
     streaming ingest: in arrival order (``arrival_col``), how many events
@@ -876,6 +902,8 @@ def out_of_order_stats(
     partition, ONE vectorized sort + ``np.maximum.accumulate`` per
     partition; output is O(keys).
     """
+    if n_parts is None:
+        n_parts = default_n_parts()
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)

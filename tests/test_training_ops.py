@@ -293,6 +293,58 @@ def test_range_join_naive_parity(rd):
     assert len(got) > 0
 
 
+def test_range_join_hot_key_deskew(rd):
+    """One key owning 50% of all rows must not collapse into a single
+    partition task (VERDICT r4 item 2): the time-bucket salt splits it, and
+    the result still matches the naive all-pairs computation."""
+    import numpy as np
+
+    from rayquality.ops.asof import _part_of, range_join
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # half the rows on hot key 1, the rest spread over 50 keys
+    key = np.where(rng.random(n) < 0.5, 1, rng.integers(2, 52, n)).astype(np.int64)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 14 * 86400, n), unit="s"
+    )
+    L = pd.DataFrame({"lid": np.arange(n, dtype=np.int64), "k": key, "ts": ts})
+    R = L.rename(columns={"lid": "rid", "ts": "ts_r"})
+    w = pd.Timedelta(minutes=10)
+
+    got = range_join(
+        rd.from_pandas(L).repartition(8),
+        rd.from_pandas(R).repartition(8),
+        key_left="k",
+        key_right="k",
+        ts_left="ts",
+        ts_right="ts_r",
+        left_cols=["lid", "k", "ts"],
+        right_cols=["rid", "ts_r"],
+        before=w,
+        after=w,
+        n_parts=64,
+    ).to_pandas()
+    got = got.sort_values(["lid", "rid"]).reset_index(drop=True)
+
+    m = L.merge(R, on="k")
+    m = m[(m["ts_r"] >= m["ts"] - w) & (m["ts_r"] <= m["ts"] + w)]
+    want = m.sort_values(["lid", "rid"]).reset_index(drop=True)[
+        ["lid", "k", "ts", "rid", "ts_r"]
+    ]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > n  # self-pairs plus real co-occurrences
+
+    # white-box: the hot key's rows spread across MANY partitions — the old
+    # key-only hash would put all of them in exactly one
+    hot_ts = L.loc[L["k"] == 1, "ts"].astype("datetime64[us]").astype(np.int64)
+    w_us = (2 * w) // pd.Timedelta(microseconds=1)
+    parts = _part_of(
+        np.full(len(hot_ts), 1, dtype=np.int64), hot_ts.to_numpy() // w_us, 64
+    )
+    assert len(np.unique(parts)) > 32
+
+
 def test_kmeans_naive_parity_and_purity(rd):
     from rayquality.ops.ann import _hash_sample
     from rayquality.ops.cluster import kmeans
