@@ -476,7 +476,22 @@ def rfm_segmentation(orders: rd.Dataset, n_buckets: int = 5) -> rd.Dataset:
         lambda t: pa.table({"m": [pc.max(t["last_order"]).as_py()]}),
         batch_format="pyarrow",
     ).to_pandas()
-    ref = ref_parts["m"].max()
+    ref = None if "m" not in ref_parts.columns else ref_parts["m"].max()
+    if ref is None or pd.isna(ref):
+        # Empty orders: skip the recency/ntile passes (pc.max returned null)
+        # and return the explicit typed empty schema.
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "recency_days": pa.array([], pa.int64()),
+                "frequency": pa.array([], pa.int64()),
+                "monetary_cents": pa.array([], pa.int64()),
+                "r_bucket": pa.array([], pa.int64()),
+                "f_bucket": pa.array([], pa.int64()),
+                "m_bucket": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty)
 
     def add_recency(t: pa.Table) -> pa.Table:
         last = t["last_order"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
@@ -845,17 +860,27 @@ def revenue_concentration(orders: rd.Dataset, top_frac: float = 0.1) -> pd.DataF
             {"rev": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
         )
 
-    counts = (
-        _combine.combine_partials(
-            per_cust.map_batches(vc_partial, batch_format="pyarrow"),
-            keys=["rev"],
-            sums=["cnt"],
+    counts = _combine.combine_partials(
+        per_cust.map_batches(vc_partial, batch_format="pyarrow"),
+        keys=["rev"],
+        sums=["cnt"],
+    ).to_pandas()
+    # Empty orders yield a zero-column frame (no batches ever flowed), so
+    # test before touching the "rev"/"cnt" columns.
+    n = 0 if counts.empty else int(counts["cnt"].sum())
+    if n == 0:
+        # Empty-result trap: emit the explicit typed zero row instead of
+        # letting pos=0 index an empty counts frame below.
+        return pd.DataFrame(
+            {
+                "top_customers": [np.int64(0)],
+                "total_customers": [np.int64(0)],
+                "top_revenue_cents": [np.int64(0)],
+                "total_revenue_cents": [np.int64(0)],
+                "share_micro": [np.int64(0)],
+            }
         )
-        .to_pandas()
-        .sort_values("rev", ascending=False)
-        .reset_index(drop=True)
-    )
-    n = int(counts["cnt"].sum())
+    counts = counts.sort_values("rev", ascending=False).reset_index(drop=True)
     total = int((counts["rev"].to_numpy(np.int64) * counts["cnt"].to_numpy(np.int64)).sum())
     k = int(math.ceil(top_frac * n))
     cum = counts["cnt"].cumsum().to_numpy(np.int64)

@@ -730,3 +730,44 @@ def test_label_centroids(rd):
         assert sl["sum_micro"].to_numpy().tolist() == sums.tolist()
         assert (sl["n"] == n).all()
     assert got["label"].nunique() == len(mats)
+
+
+def test_rfm_and_concentration_empty_orders(rd):
+    """ADVICE r4: empty orders must yield the explicit typed empty/zero
+    schema, not IndexError (revenue_concentration) or a null-ref crash
+    (rfm_segmentation)."""
+    import pyarrow as pa
+
+    from rayquality.ops import analytic
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderkey": pa.array([], pa.int64()),
+            }
+        )
+    )
+    rc = analytic.revenue_concentration(empty)
+    assert rc.to_dict("records") == [
+        {
+            "top_customers": 0,
+            "total_customers": 0,
+            "top_revenue_cents": 0,
+            "total_revenue_cents": 0,
+            "share_micro": 0,
+        }
+    ]
+    rfm = analytic.rfm_segmentation(empty)
+    assert rfm.count() == 0
+    assert rfm.schema().names == [
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_bucket",
+        "f_bucket",
+        "m_bucket",
+    ]
