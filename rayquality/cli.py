@@ -111,18 +111,53 @@ def cmd_filter_docs(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_list_tables(args: argparse.Namespace) -> int:
-    import pyarrow.parquet as pq
+def _is_sqlite(path: str) -> bool:
+    return path.endswith((".db", ".sqlite", ".sqlite3"))
 
-    rows = []
-    for f in sorted(glob.glob(os.path.join(args.dir, "*.parquet"))):
-        rows.append((os.path.basename(f)[: -len(".parquet")], pq.read_metadata(f).num_rows))
+
+def cmd_list_tables(args: argparse.Namespace) -> int:
+    if _is_sqlite(args.dir):
+        from . import sqlite_source as sq
+
+        rows = [
+            (t["table_name"], sq.row_count(args.dir, t["table_name"]))
+            for t in sq.list_tables(args.dir)
+        ]
+    else:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for f in sorted(glob.glob(os.path.join(args.dir, "*.parquet"))):
+            rows.append(
+                (os.path.basename(f)[: -len(".parquet")], pq.read_metadata(f).num_rows)
+            )
     for name, n in sorted(rows, key=lambda x: -x[1]):
         print(f"{name:20s} {n:>12,}")
     return 0
 
 
 def cmd_describe(args: argparse.Namespace) -> int:
+    if _is_sqlite(args.path):
+        # reference describe-table surfaces is_nullable + column_default
+        # (connectors/sqlite.py:52-77); FK lines mirror get_foreign_keys
+        from . import sqlite_source as sq
+
+        if not args.table:
+            raise SystemExit("describe-table on a .db file needs --table NAME")
+        print(f"rows: {sq.row_count(args.path, args.table):,}")
+        for c in sq.table_info(args.path, args.table):
+            null = "NULL" if c["is_nullable"] == "YES" else "NOT NULL"
+            dflt = "-" if c["column_default"] is None else c["column_default"]
+            print(
+                f"  {c['column_name']:20s} {c['data_type'] or 'BLOB':18s} "
+                f"{null:9s} default={dflt}"
+            )
+        for fk in sq.foreign_keys(args.path, args.table):
+            print(
+                f"  FK {fk['column_name']} -> "
+                f"{fk['referenced_table']}.{fk['referenced_column']}"
+            )
+        return 0
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(args.path)
@@ -193,12 +228,17 @@ def main(argv: list[str] | None = None) -> int:
     fd.add_argument("--no-kept", action="store_true")
     fd.set_defaults(fn=cmd_filter_docs)
 
-    lt = sub.add_parser("list-tables", help="list parquet tables by row count")
+    lt = sub.add_parser(
+        "list-tables", help="list parquet (dir) or sqlite (.db) tables by row count"
+    )
     lt.add_argument("dir")
     lt.set_defaults(fn=cmd_list_tables)
 
-    d = sub.add_parser("describe-table", help="schema + row count of a parquet table")
+    d = sub.add_parser(
+        "describe-table", help="schema + row count of a parquet table or sqlite --table"
+    )
     d.add_argument("path")
+    d.add_argument("--table", default=None, help="table name (sqlite .db files)")
     d.set_defaults(fn=cmd_describe)
 
     au = sub.add_parser(

@@ -78,5 +78,14 @@ register_source("json", rd.read_json)
 register_source("text", rd.read_text)
 register_source("binary", rd.read_binary_files)
 register_source("numpy", rd.read_numpy)
+def _read_sqlite(path: str, **kwargs) -> rd.Dataset:
+    # Live-DB member of the registry (reference S2/S3 parity): rowid-range
+    # parallel scan via stdlib sqlite3 — see rayquality/sqlite_source.py.
+    from .sqlite_source import read_sqlite
+
+    return read_sqlite(path, **kwargs)
+
+
 register_source("orc", _read_orc)
 register_source("lance", _read_lance)
+register_source("sqlite", _read_sqlite)
