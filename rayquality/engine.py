@@ -149,6 +149,14 @@ DEFAULT_SKIP_PATTERNS = (
 )
 
 
+def _env_csv(name: str) -> tuple[str, ...]:
+    """Comma-split env list (reference duplicates.py:45-70: empty/unset
+    falls through to the defaults)."""
+    import os
+
+    return tuple(p.strip() for p in os.getenv(name, "").split(",") if p.strip())
+
+
 class DuplicatesValidator:
     """Distinct-count rule (duplicates.py:263-320) with name-triage (M9)."""
 
@@ -167,8 +175,24 @@ class DuplicatesValidator:
             raise ValueError("max_duplicates must be >= 0")
         self.max_duplicates = max_duplicates
         self.columns = columns
-        self.force = {c.lower() for c in (force_unique_columns or set())}
-        self.allow = {c.lower() for c in (allow_duplicate_columns or set())}
+        # env overrides (duplicates.py:45-152): SKIP_DUPLICATE_PATTERNS /
+        # FORCE_UNIQUE_PATTERNS replace the default pattern lists when set;
+        # FORCE_UNIQUE_COLUMNS / ALLOW_DUPLICATE_COLUMNS add explicit names.
+        # Constructor args still win (config-over-env, SURVEY §2.1 M9): env
+        # only substitutes where the caller left the defaults.
+        env_unique, env_skip = _env_csv("FORCE_UNIQUE_PATTERNS"), _env_csv(
+            "SKIP_DUPLICATE_PATTERNS"
+        )
+        if unique_patterns == DEFAULT_UNIQUE_PATTERNS and env_unique:
+            unique_patterns = env_unique
+        if skip_patterns == DEFAULT_SKIP_PATTERNS and env_skip:
+            skip_patterns = env_skip
+        self.force = {c.lower() for c in (force_unique_columns or set())} | {
+            c.lower() for c in _env_csv("FORCE_UNIQUE_COLUMNS")
+        }
+        self.allow = {c.lower() for c in (allow_duplicate_columns or set())} | {
+            c.lower() for c in _env_csv("ALLOW_DUPLICATE_COLUMNS")
+        }
         self.unique_patterns = unique_patterns
         self.skip_patterns = skip_patterns
 

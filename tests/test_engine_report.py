@@ -55,6 +55,38 @@ def test_duplicates_validator_triage(rd):
     assert by_col["o_custkey"].affected_rows > 0
 
 
+def test_duplicates_env_overrides(rd, monkeypatch):
+    """Env-var triage parity (reference duplicates.py:45-152 +
+    tests/unit/validators/test_duplicates.py env cases): set env vars
+    replace the default pattern lists and add explicit column overrides;
+    empty env falls through to the defaults; constructor args still win."""
+    monkeypatch.setenv("SKIP_DUPLICATE_PATTERNS", "test_skip,custom_pattern")
+    monkeypatch.setenv("FORCE_UNIQUE_PATTERNS", "test_unique,custom_unique")
+    monkeypatch.setenv("FORCE_UNIQUE_COLUMNS", "force_column")
+    monkeypatch.setenv("ALLOW_DUPLICATE_COLUMNS", "allow_column")
+    v = DuplicatesValidator()
+    assert v.skip_patterns == ("test_skip", "custom_pattern")
+    assert v.unique_patterns == ("test_unique", "custom_unique")
+    assert not v.should_validate("my_test_skip_col")
+    assert v.should_validate("a_custom_unique_code")
+    assert v.should_validate("force_column")
+    assert not v.should_validate("allow_column")
+    # the default skip list no longer applies once env replaces it
+    assert v.should_validate("user_email")
+
+    # constructor args beat env (config-over-env design decision)
+    v2 = DuplicatesValidator(unique_patterns=("ctor",), skip_patterns=("c2",))
+    assert v2.unique_patterns == ("ctor",) and v2.skip_patterns == ("c2",)
+
+    monkeypatch.setenv("SKIP_DUPLICATE_PATTERNS", "")
+    monkeypatch.setenv("FORCE_UNIQUE_PATTERNS", "")
+    monkeypatch.delenv("FORCE_UNIQUE_COLUMNS")
+    monkeypatch.delenv("ALLOW_DUPLICATE_COLUMNS")
+    v3 = DuplicatesValidator()
+    assert not v3.should_validate("user_email")  # defaults restored
+    assert v3.should_validate("codigo_produto")
+
+
 def test_patterns_validator_custom(rd):
     ds = rd.read_parquet(f"{SF}/customer.parquet")
     results = PatternsValidator({"c_name": r"Customer#[0-9]{9}"}).validate(ds, "customer")
