@@ -561,9 +561,8 @@ def grouped_topk(
         df = df.sort_values(
             ["value_cents", id_col], ascending=[False, True]
         )
-        return df.groupby(group_col, sort=False).head(k)
-
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(group_col, sort=False).head(k)
+        # pkey fused into the combiner (one fewer stage/conversion)
         h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
         df = df.copy()
         df["pkey"] = (h % np.uint64(_combine.DEFAULT_N_PARTS)).astype(np.int64)
@@ -578,7 +577,6 @@ def grouped_topk(
     return (
         ds.select_columns([group_col, value_col, id_col])
         .map_batches(block_topk, batch_format="pandas")
-        .map_batches(add_pkey, batch_format="pandas")
         .groupby("pkey")
         .map_groups(finish, batch_format="pandas")
     )

@@ -59,20 +59,27 @@ def q3_shipping_priority(
         .map_batches(_seg_only, batch_format="pyarrow")
         .to_pandas()
     )
+    # sorted-ndarray broadcast + searchsorted membership (the q5 pattern):
+    # stays zero-copy Arrow->numpy per batch, no per-batch set/dict probe
     keys_ref = ray.put(
-        frozenset(seg_keys["c_custkey"].tolist()) if "c_custkey" in seg_keys else frozenset()
+        np.sort(seg_keys["c_custkey"].to_numpy(np.int64))
+        if "c_custkey" in seg_keys
+        else np.empty(0, np.int64)
     )
     cut = np.datetime64(cutoff, "us")
 
-    def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
+    def ord_filter(t: pa.Table) -> pa.Table:
         members = ray.get(keys_ref)
-        m = (df["o_orderdate"].to_numpy() < cut) & df["o_custkey"].isin(members).to_numpy()
-        out = df.loc[m, ["o_orderkey", "o_orderdate"]]
-        return out
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        pos = np.searchsorted(members, ck)
+        pos[pos == len(members)] = 0
+        m = (od < cut) & (members[pos] == ck) if len(members) else np.zeros(len(ck), bool)
+        return t.select(["o_orderkey", "o_orderdate"]).filter(pa.array(m))
 
     odates = orders.select_columns(
         ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(ord_filter, batch_format="pandas")
+    ).map_batches(ord_filter, batch_format="pyarrow")
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
@@ -99,12 +106,15 @@ def q3_shipping_priority(
         right_on=("o_orderkey",),
     )
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["revenue_c100", "l_orderkey"], ascending=[False, True]
-        ).head(k)
+    def block_topk(t: pa.Table) -> pa.Table:
+        # (rev desc, key asc) top-k via one lexsort on zero-copy views —
+        # the widest post-join stream stays Arrow end to end
+        rev = t["revenue_c100"].to_numpy(zero_copy_only=False)
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((key, -rev))[:k]
+        return t.take(pa.array(idx))
 
-    out = j.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = j.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     out = (
         out.sort_values(["revenue_c100", "l_orderkey"], ascending=[False, True])
         .head(k)

@@ -183,17 +183,17 @@ def stratified_sample(
         n_parts = default_n_parts()
 
     def block_topn(df: pd.DataFrame) -> pd.DataFrame:
+        # pkey is fused into the combiner (VERDICT r4 item 8): the top-n
+        # survivors are already in hand, so hashing them here saves a whole
+        # Arrow->pandas stage on the shuffle input
         k = df[key_col].to_numpy(np.int64).astype(np.uint64)
         out = df[[group_col, key_col]].copy()
         out["hkey"] = ((k * _KNUTH) % _H32).astype(np.int64)
         out = out.sort_values(["hkey", key_col], kind="stable")
-        return out.groupby(group_col, as_index=False, sort=False).head(n)
-
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        hv = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
-        df = df.copy()
-        df["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
-        return df
+        out = out.groupby(group_col, as_index=False, sort=False).head(n)
+        hv = pd.util.hash_pandas_object(out[group_col], index=False).to_numpy(np.uint64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["hkey", key_col], kind="stable")
@@ -205,7 +205,6 @@ def stratified_sample(
     out = (
         ds.select_columns([group_col, key_col])
         .map_batches(block_topn, batch_format="pandas")
-        .map_batches(add_pkey, batch_format="pandas")
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
         .to_pandas()
@@ -602,30 +601,25 @@ def first_per_key_window(
             }
         )
         out = out.sort_values([ts_col, id_col])
-        return out.drop_duplicates(subset=[key_col, "_day"], keep="first")
+        out = out.drop_duplicates(subset=[key_col, "_day"], keep="first")
+        # pkey fused into the combiner (one stage, one conversion)
+        h = pd.util.hash_pandas_object(
+            out[[key_col, "_day"]], index=False
+        ).to_numpy(np.uint64)
+        out = out.copy()
+        out["pkey"] = (h % np.uint64(DEFAULT_N_PARTS)).astype(np.int64)
+        return out
 
     partials = ds.select_columns([id_col, key_col, ts_col]).map_batches(
         best, batch_format="pandas"
     )
-
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_pandas_object(
-            df[[key_col, "_day"]], index=False
-        ).to_numpy(np.uint64)
-        df["pkey"] = (h % np.uint64(DEFAULT_N_PARTS)).astype(np.int64)
-        return df
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col])
         g = g.drop_duplicates(subset=[key_col, "_day"], keep="first")
         return g[[id_col, key_col, ts_col]]
 
-    return (
-        partials.map_batches(add_pkey, batch_format="pandas")
-        .groupby("pkey")
-        .map_groups(finish, batch_format="pandas")
-    )
+    return partials.groupby("pkey").map_groups(finish, batch_format="pandas")
 
 
 def grouped_hash_sample(
@@ -643,6 +637,8 @@ def grouped_hash_sample(
     break by key asc, mirroring ``ORDER BY hash, key``.
     """
 
+    n_parts = default_n_parts()
+
     def block_top(df: pd.DataFrame) -> pd.DataFrame:
         key = df[key_col].to_numpy(np.int64).astype(np.uint64)
         out = pd.DataFrame(
@@ -653,13 +649,13 @@ def grouped_hash_sample(
             }
         )
         out = out.sort_values(["hkey", key_col])
-        return out.groupby(group_col, sort=False).head(k)
-
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy(np.uint64)
-        df = df.copy()
-        df["pkey"] = (h % np.uint64(64)).astype(np.int64)
-        return df
+        out = out.groupby(group_col, sort=False).head(k)
+        # pkey fused into the combiner: one fewer conversion stage, and the
+        # partition count is cluster-derived (was a stray fixed 64)
+        h = pd.util.hash_pandas_object(out[group_col], index=False).to_numpy(np.uint64)
+        out = out.copy()
+        out["pkey"] = (h % np.uint64(n_parts)).astype(np.int64)
+        return out
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["hkey", key_col])
@@ -670,7 +666,6 @@ def grouped_hash_sample(
     return (
         ds.select_columns([group_col, key_col])
         .map_batches(block_top, batch_format="pandas")
-        .map_batches(add_pkey, batch_format="pandas")
         .groupby("pkey")
         .map_groups(finish, batch_format="pandas")
     )
