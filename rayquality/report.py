@@ -168,38 +168,143 @@ def txt_report(results: list[ValidationResult], table_name: str) -> str:
     return "\n".join(lines)
 
 
-def html_report(results: list[ValidationResult], table_name: str) -> str:
-    s = analyze_results(results)
-    rows = "\n".join(
+_SEV_LABELS = {
+    "critical": "Critical issues",
+    "error": "Errors",
+    "warning": "Warnings",
+    "info": "Information",
+}
+
+
+def _result_rows(rs: list[ValidationResult]) -> str:
+    from html import escape
+
+    return "\n".join(
         f"<tr class='{'pass' if r.passed else 'fail'}'>"
-        f"<td>{r.rule_name}</td><td>{r.column_name or ''}</td>"
-        f"<td>{r.severity.value}</td><td>{'PASS' if r.passed else 'FAIL'}</td>"
-        f"<td>{r.affected_rows:,}</td><td>{r.total_rows:,}</td>"
-        f"<td>{r.pass_rate:.1f}%</td></tr>"
-        for r in results
+        f"<td>{escape(r.rule_name)}</td><td>{escape(r.column_name or '—')}</td>"
+        f"<td>{'PASS' if r.passed else 'FAIL'}</td>"
+        f"<td class='num'>{r.affected_rows:,}</td><td class='num'>{r.total_rows:,}</td>"
+        f"<td class='num'>{r.pass_rate:.1f}%</td>"
+        f"<td class='msg'>{escape(r.message)}</td></tr>"
+        for r in rs
     )
+
+
+def html_report(results: list[ValidationResult], table_name: str) -> str:
+    """Styled HTML report — capability parity with the reference's visual
+    summary (reports/html_report.py:14-117 in /root/reference: timestamped
+    header, summary cards, validator + severity breakdowns, per-severity
+    result sections; own markup and CSS). Failed rules render open, passed
+    ones inside a collapsed <details> so big tables stay scannable."""
+    from datetime import datetime
+    from html import escape
+
+    s = analyze_results(results)
+    score = quality_score(s["success_rate"])
+    stamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+
+    vrows = "\n".join(
+        f"<tr><td>{escape(v)}</td><td class='num'>{b['total']}</td>"
+        f"<td class='num'>{b['passed']}</td><td class='num'>{b['failed']}</td>"
+        f"<td class='num'>{100.0 * b['passed'] / b['total']:.1f}%</td></tr>"
+        for v, b in sorted(s["validator_breakdown"].items())
+    )
+    srows = "\n".join(
+        f"<tr><td>{escape(sev)}</td><td class='num'>{b['total']}</td>"
+        f"<td class='num'>{b['passed']}</td><td class='num'>{b['failed']}</td></tr>"
+        for sev, b in sorted(
+            s["severity_breakdown"].items(),
+            key=lambda kv: SEVERITY_PRIORITY.get(kv[0], 4),
+        )
+    )
+    head = (
+        "<tr><th>Rule</th><th>Column</th><th>Status</th><th>Affected</th>"
+        "<th>Total</th><th>Pass rate</th><th>Message</th></tr>"
+    )
+    sections = []
+    for sev in sorted(
+        {r.severity.value for r in results}, key=lambda v: SEVERITY_PRIORITY.get(v, 4)
+    ):
+        sev_rs = [r for r in results if r.severity.value == sev]
+        failed = [r for r in sev_rs if not r.passed]
+        passed = [r for r in sev_rs if r.passed]
+        label = _SEV_LABELS.get(sev.lower(), sev)
+        body = ""
+        if failed:
+            body += f"<table>{head}{_result_rows(failed)}</table>"
+        if passed:
+            body += (
+                f"<details><summary>{len(passed)} passed check(s)</summary>"
+                f"<table>{head}{_result_rows(passed)}</table></details>"
+            )
+        sections.append(
+            f"<section class='sev-{escape(sev.lower())}'><h3>{escape(label)}"
+            f"<span class='count'>{len(failed)} failed / {len(sev_rs)}</span></h3>"
+            f"{body}</section>"
+        )
+
     return f"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>Data Quality — {table_name}</title>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1.0">
+<title>Data Quality — {escape(table_name)}</title>
 <style>
-body {{ font-family: sans-serif; margin: 2em; }}
-.cards {{ display: flex; gap: 1em; }}
-.card {{ border: 1px solid #ccc; border-radius: 8px; padding: 1em; }}
-table {{ border-collapse: collapse; margin-top: 1em; }}
-td, th {{ border: 1px solid #ddd; padding: 4px 8px; }}
-tr.fail {{ background: #ffe5e5; }}
-tr.pass {{ background: #eaffea; }}
-</style></head><body>
-<h1>Data Quality Report — {table_name}</h1>
+body {{ font-family: -apple-system, 'Segoe UI', sans-serif; margin: 0;
+       background: #f5f6f8; color: #1c2330; }}
+.container {{ max-width: 960px; margin: 0 auto; padding: 2em 1.5em; }}
+header h1 {{ margin: 0 0 .1em; font-size: 1.7em; }}
+header .timestamp {{ color: #6b7485; margin: 0 0 1.5em; }}
+.cards {{ display: flex; gap: 1em; flex-wrap: wrap; margin-bottom: 1.5em; }}
+.card {{ flex: 1 1 130px; background: #fff; border-radius: 10px;
+        padding: .9em 1.1em; box-shadow: 0 1px 3px rgba(20,30,50,.08);
+        border-top: 4px solid #9aa4b5; }}
+.card h4 {{ margin: 0 0 .3em; font-size: .75em; text-transform: uppercase;
+           letter-spacing: .06em; color: #6b7485; }}
+.card .metric {{ font-size: 1.6em; font-weight: 700; }}
+.card.score {{ border-top-color: #4362d6; }}
+.card.ok {{ border-top-color: #2e9e5b; }}
+.card.bad {{ border-top-color: #d64545; }}
+section {{ background: #fff; border-radius: 10px; padding: 1em 1.2em;
+          margin-bottom: 1.2em; box-shadow: 0 1px 3px rgba(20,30,50,.08); }}
+section h3 {{ margin: .1em 0 .6em; font-size: 1.05em; }}
+section h3 .count {{ float: right; font-weight: 400; color: #6b7485;
+                    font-size: .85em; }}
+.sev-critical h3 {{ color: #8e1f1f; }} .sev-error h3 {{ color: #d64545; }}
+.sev-warning h3 {{ color: #b07d1a; }} .sev-info h3 {{ color: #4362d6; }}
+table {{ border-collapse: collapse; width: 100%; font-size: .88em; }}
+td, th {{ border-bottom: 1px solid #e6e9ef; padding: 5px 8px; text-align: left; }}
+th {{ color: #6b7485; font-size: .85em; text-transform: uppercase;
+     letter-spacing: .04em; }}
+td.num {{ text-align: right; font-variant-numeric: tabular-nums; }}
+td.msg {{ color: #4a5468; }}
+tr.fail td:nth-child(3) {{ color: #d64545; font-weight: 700; }}
+tr.pass td:nth-child(3) {{ color: #2e9e5b; font-weight: 700; }}
+details summary {{ cursor: pointer; color: #4362d6; margin: .4em 0; }}
+footer {{ color: #6b7485; text-align: center; padding: 1em 0 2em;
+         font-size: .85em; }}
+</style></head><body><div class="container">
+<header>
+<h1>Data Quality Report — {escape(table_name)}</h1>
+<p class="timestamp">Generated on {stamp}</p>
+</header>
 <div class="cards">
-<div class="card"><b>Score</b><br>{quality_score(s["success_rate"])} ({s["success_rate"]:.1f}%)</div>
-<div class="card"><b>Passed</b><br>{s["passed_checks"]}</div>
-<div class="card"><b>Failed</b><br>{s["failed_checks"]}</div>
-<div class="card"><b>Total</b><br>{s["total_checks"]}</div>
+<div class="card score"><h4>Score</h4><div class="metric">{score}</div>
+{s["success_rate"]:.1f}% success</div>
+<div class="card"><h4>Total checks</h4><div class="metric">{s["total_checks"]}</div></div>
+<div class="card ok"><h4>Passed</h4><div class="metric">{s["passed_checks"]}</div></div>
+<div class="card bad"><h4>Failed</h4><div class="metric">{s["failed_checks"]}</div></div>
 </div>
-<table><tr><th>Rule</th><th>Column</th><th>Severity</th><th>Status</th>
-<th>Affected</th><th>Total</th><th>Pass rate</th></tr>
-{rows}
-</table></body></html>"""
+<section><h3>By validator</h3>
+<table><tr><th>Validator</th><th>Total</th><th>Passed</th><th>Failed</th>
+<th>Pass rate</th></tr>
+{vrows}
+</table></section>
+<section><h3>By severity</h3>
+<table><tr><th>Severity</th><th>Total</th><th>Passed</th><th>Failed</th></tr>
+{srows}
+</table></section>
+{"".join(sections)}
+<footer>Report generated by rayquality</footer>
+</div></body></html>"""
 
 
 class ReportManager:

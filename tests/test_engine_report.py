@@ -176,7 +176,20 @@ def test_report_manager_files(tmp_path):
     assert data["table_name"] == "mytable"
     assert data["summary"]["failed_checks"] == 1
     assert "TOP ISSUES" in open(paths["txt"]).read()
-    assert "<html" in open(paths["html"]).read()
+    html = open(paths["html"]).read()
+    assert "<html" in html
+    # styled-summary parity (reference reports/html_report.py:14-117):
+    # timestamped header, summary cards, validator/severity breakdowns,
+    # per-severity sections
+    for section in (
+        "Generated on",
+        'class="card score"',
+        "By validator",
+        "By severity",
+        "sev-error",
+        "Errors",
+    ):
+        assert section in html, section
     for p in paths.values():
         assert "data_quality_unified_mytable_" in os.path.basename(p)
 
