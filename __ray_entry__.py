@@ -167,6 +167,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li, orders = _tables(sf, "lineitem", "orders")
         return validators.integrity(li, "l_orderkey", orders, "o_orderkey")
 
+    def sqlite_scan_orders(sf):
+        """Live-SQL source certification: orders loads once into a cached
+        SQLite file, reads back through the registry's rowid-range parallel
+        scanner (rayquality/sqlite_source.py), and aggregates per status —
+        the oracle runs the same aggregate over the parquet view, so a hash
+        match certifies the connector round-trip end to end."""
+        import sqlite3
+
+        import numpy as np
+        import pyarrow as pa
+
+        from rayquality import sources
+        from rayquality.ops import combine as _combine
+
+        cache = "/tmp/rayquality_sqlite"
+        os.makedirs(cache, exist_ok=True)
+        tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+        db = os.path.join(cache, f"{tag}_orders.db")
+        if not os.path.exists(db + ".ok"):
+            import pandas as pd
+
+            pdf = pd.read_parquet(
+                os.path.join(sf, "orders.parquet"),
+                columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            )
+            if os.path.exists(db):
+                os.remove(db)
+            conn = sqlite3.connect(db)
+            conn.execute(
+                "CREATE TABLE orders (o_orderkey INTEGER, "
+                "o_orderstatus TEXT, o_totalprice REAL)"
+            )
+            conn.executemany(
+                "INSERT INTO orders VALUES (?, ?, ?)",
+                pdf.itertuples(index=False, name=None),
+            )
+            conn.commit()
+            conn.close()
+            with open(db + ".ok", "w") as f:
+                f.write("ok")
+
+        ds = sources.read_table(
+            db, "sqlite", table="orders", columns=["o_orderstatus", "o_totalprice"]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table(
+                    {
+                        "o_orderstatus": t["o_orderstatus"],
+                        "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+                        "total_cents": _quant.cents_pa(
+                            t["o_totalprice"].combine_chunks()
+                        ),
+                    }
+                )
+                .group_by("o_orderstatus")
+                .aggregate([("n_orders", "sum"), ("total_cents", "sum")])
+            )
+            return g.rename_columns(["o_orderstatus", "n_orders", "total_cents"])
+
+        out = _combine.combine_partials(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["o_orderstatus"],
+            sums=["n_orders", "total_cents"],
+        ).to_pandas()
+        return out.sort_values("o_orderstatus").reset_index(drop=True)
+
     def q1_pricing_summary(sf):
         (li,) = _tables(sf, "lineitem")
         return relational.q1_pricing_summary(li)
@@ -1549,7 +1617,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_per_type_events": approx_distinct_per_type_events,
         "pq_search_embeddings": pq_search_embeddings,
         "range_sorted_write_orders": range_sorted_write_orders,
-        # -- 23 oracled re-certs (driver-certified green in r1-r3) --
+        # -- round-5 addition (oracled, enters the window on first round) --
+        "sqlite_scan_orders": sqlite_scan_orders,
+        # -- 22 oracled re-certs inside the window (driver-certified green
+        #    in r1-r3; the 23rd re-cert slot moved past the window edge) --
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
         "duplicate_values_orders": duplicate_values_orders,
@@ -1722,6 +1793,14 @@ def oracle_sql() -> dict[str, str]:
         for c in comp_cols
     )
     return {
+        "sqlite_scan_orders": (
+            # certifies the SQLite connector round-trip: the Ray side reads
+            # orders back out of a SQLite file via the rowid-range scanner
+            "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS total_cents FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
         "completeness_customer": f"SELECT * FROM ({comp_union}) ORDER BY column_name",
         "duplicates_orders_custkey": (
             # ignore_nulls=True semantics: duplicates among NON-NULL values

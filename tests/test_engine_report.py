@@ -280,9 +280,12 @@ def test_gate_window_rotation_contract():
         with open(os.path.join(repo, f"CORRECTNESS_{r}.json")) as f:
             certified |= set(json.load(f))
     never = set(qs) - certified
-    assert len(never) == 27, sorted(never)
-    stranded = never - first50
-    assert not stranded, sorted(stranded)
+    # 27 legacy never-certified entries plus any round-5 additions (new
+    # queries are by definition uncertified until CORRECTNESS_r05 lands);
+    # every one of them must sit inside the 50-entry window.
+    r5_new = {"sqlite_scan_orders"}
+    assert len(never - r5_new) == 27, sorted(never - r5_new)
+    assert r5_new <= never <= first50, sorted(never - first50)
     # every window slot that is not a never-certified entry must be an
     # oracled re-cert (strongest check for the re-used slots)
     recerts = first50 - never
