@@ -176,9 +176,10 @@ def run_bench() -> dict:
 
 
 def _heavy_bench() -> dict:
-    """The six most expensive r3 queries at the 10x replicated scale
+    """The most expensive queries at replicated scale
     (scripts/scale_check.py corpora) so regressions in the expensive tail
-    land in the per-round BENCH artifact (VERDICT r3 item 8)."""
+    land in the per-round BENCH artifact (VERDICT r3 item 8; range_join
+    added per VERDICT r4 item 2 to record the post-deskew 10x time)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -195,6 +196,7 @@ def _heavy_bench() -> dict:
             "q3_shipping_priority",
             "q5_local_supplier_10x",
             "bloom_semi_join_10x",
+            "range_join",
         },
         shutdown=False,
     )
@@ -372,7 +374,13 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    # The driver contract is ONE JSON line on stdout. Ray occasionally
+    # forwards a worker log line to the driver's stdout (observed:
+    # a MapBatches operator name leaking ahead of the JSON), so park the
+    # real stdout on a saved fd, point fd 1 at stderr for the whole run,
+    # and write the payload to the saved fd at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    payload = run_scaling() if "--scaling" in sys.argv else run_bench()
+    os.write(real_stdout, (json.dumps(payload) + "\n").encode())
