@@ -53,6 +53,25 @@ def _part_of(key: np.ndarray, salt: np.ndarray | None, n_parts: int) -> np.ndarr
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
+def _left_bucket(ts_us: np.ndarray, w_us: int) -> np.ndarray:
+    """Range-join time bucket of a LEFT row: floor(ts / W)."""
+    return ts_us // w_us
+
+
+def _right_buckets(ts_us: np.ndarray, after_us: int, w_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """The exactly-two W-aligned buckets a RIGHT row can match into.
+
+    A right row at ``rt`` matches left timestamps in ``[rt - after,
+    rt + before]`` — an interval of length W = before + after, which
+    overlaps at most the two buckets ``floor((rt - after)/W)`` and the
+    next one (inclusive endpoints included: ``(x + W)//W == x//W + 1``).
+    Co-location invariant (property-tested): for every matching pair,
+    ``_left_bucket(lt) in _right_buckets(rt)``.
+    """
+    b0 = (ts_us - after_us) // w_us
+    return b0, b0 + 1
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -233,11 +252,10 @@ def range_join(
             ts = t[ts_col].combine_chunks().cast(pa.timestamp("us"))
             ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
             if side == 0:
-                bkt = ts_us // w_us
-                reps = [(bkt, slice(None))]
+                reps = [(_left_bucket(ts_us, w_us), slice(None))]
             else:
-                b0 = (ts_us - after_us) // w_us
-                reps = [(b0, slice(None)), (b0 + 1, slice(None))]
+                b0, b1 = _right_buckets(ts_us, after_us, w_us)
+                reps = [(b0, slice(None)), (b1, slice(None))]
             parts: list[pa.Table] = []
             for bkt, sel in reps:
                 out: dict[str, pa.Array | pa.ChunkedArray] = {

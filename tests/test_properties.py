@@ -132,3 +132,54 @@ def test_galloping_next_fit_matches_sequential(tokens, capacity):
             fill += int(t)
         want[idx] = cur
     assert (bins == want).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=50),
+    st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=50),
+    st.integers(0, 10**9),
+    st.integers(0, 10**9),
+)
+def test_range_join_bucket_colocation(lts, rts, before_us, after_us):
+    """The de-skew co-location invariant of range_join's time-axis salting
+    (ops/asof.py): for EVERY matching (left, right) pair — rt within
+    [lt - before, lt + after] — the left row's bucket is one of the exactly
+    two buckets the right row replicates into, and only one of them (so
+    each pair is co-located exactly once, no dedup pass needed). An
+    off-by-one here silently DROPS pairs, which the small-SF oracle can
+    miss; negative timestamps (pre-1970 casts) must floor, not truncate."""
+    from rayquality.ops.asof import _left_bucket, _right_buckets
+
+    w_us = max(1, before_us + after_us)
+    lt = np.asarray(lts, np.int64)
+    rt = np.asarray(rts, np.int64)
+    lb = _left_bucket(lt, w_us)
+    b0, b1 = _right_buckets(rt, after_us, w_us)
+    for i, l in enumerate(lt):
+        for j, r in enumerate(rt):
+            if l - before_us <= r <= l + after_us:
+                assert (lb[i] == b0[j]) != (lb[i] == b1[j]), (
+                    f"pair (lt={l}, rt={r}, before={before_us}, "
+                    f"after={after_us}) lb={lb[i]} b0={b0[j]} b1={b1[j]}"
+                )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=100),
+    st.integers(1, 4096),
+    st.booleans(),
+)
+def test_part_of_range_and_determinism(keys, n_parts, with_salt):
+    """_part_of must land every (key, salt) in [0, n_parts) and be a pure
+    function of its inputs (stable partition routing is what makes the
+    grouped shuffle resumable)."""
+    from rayquality.ops.asof import _part_of
+
+    k = np.asarray(keys, np.int64)
+    salt = (k // 3) if with_salt else None
+    p = _part_of(k, salt, n_parts)
+    assert p.dtype == np.int64
+    assert ((p >= 0) & (p < n_parts)).all()
+    assert (p == _part_of(k, salt, n_parts)).all()
