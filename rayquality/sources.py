@@ -86,6 +86,33 @@ def _read_sqlite(path: str, **kwargs) -> rd.Dataset:
     return read_sqlite(path, **kwargs)
 
 
+def _read_feather(
+    path: str, *, columns: list[str] | None = None, **kwargs
+) -> rd.Dataset:
+    """Distributed Feather / Arrow-IPC reader (this Ray build ships no
+    ``read_feather``): same shape as :func:`_read_orc` — Ray lists and
+    ships file bytes, one block per file, and each TASK decodes with
+    ``pyarrow.feather`` (handles both Feather V1 and V2 = Arrow IPC file
+    format, any compression pyarrow was built with). ``columns`` prunes at
+    decode; ingest compatibility, not the resident format."""
+    import pyarrow as pa
+
+    files = rd.read_binary_files(path, **kwargs)
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.feather as pf
+
+        tabs = [
+            pf.read_table(pa.BufferReader(b.as_py()), columns=columns)
+            for b in t["bytes"]
+        ]
+        return pa.concat_tables(tabs)
+
+    return files.map_batches(decode, batch_format="pyarrow")
+
+
 register_source("orc", _read_orc)
 register_source("lance", _read_lance)
 register_source("sqlite", _read_sqlite)
+register_source("feather", _read_feather)
+register_source("arrow", _read_feather)  # .arrow = the IPC file extension

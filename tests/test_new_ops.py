@@ -71,6 +71,18 @@ def test_sources_registry(rd, tmp_path):
     np.save(str(tmp_path / "vecs.npy"), np.arange(12).reshape(4, 3))
     nds = sources.read_table(str(tmp_path / "vecs.npy"), "numpy")
     assert nds.count() == 4
+    # Feather / Arrow IPC round-trip (V2 default + uncompressed V1), pruned
+    import pyarrow.feather as pf
+
+    fdir = tmp_path / "feather"
+    fdir.mkdir()
+    pf.write_feather(tbl, str(fdir / "part0.feather"))
+    pf.write_feather(tbl, str(fdir / "part1.feather"), version=1)
+    fgot = sources.read_table(str(fdir), "feather").to_pandas().sort_values(["a"])
+    assert len(fgot) == 6 and list(fgot.columns) == ["a", "b", "c"]
+    assert fgot["a"].tolist() == [1, 1, 2, 2, 3, 3]
+    fpruned = sources.read_table(str(fdir), "arrow", columns=["c"]).to_pandas()
+    assert list(fpruned.columns) == ["c"] and len(fpruned) == 6
 
 
 def test_image_features_and_thumbs(rd):
