@@ -45,8 +45,10 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         severity_details,
     )
 
-    table_name = os.path.splitext(os.path.basename(args.path.rstrip("/")))[0]
-    ds = rd.read_parquet(args.path)
+    table_name = args.table or os.path.splitext(
+        os.path.basename(args.path.rstrip("/"))
+    )[0]
+    ds = _read_input(args.path, args.source_format, args.table)
     custom = dict(kv.split("=", 1) for kv in (args.pattern or []))
     subset = args.validators.split(",") if args.validators else None
     relations = None
@@ -113,6 +115,38 @@ def cmd_filter_docs(args: argparse.Namespace) -> int:
 
 def _is_sqlite(path: str) -> bool:
     return path.endswith((".db", ".sqlite", ".sqlite3"))
+
+
+_EXT_FORMAT = {
+    "parquet": "parquet",
+    "csv": "csv",
+    "json": "json",
+    "orc": "orc",
+    "feather": "feather",
+    "arrow": "arrow",
+    "npy": "numpy",
+    "db": "sqlite",
+    "sqlite": "sqlite",
+    "sqlite3": "sqlite",
+}
+
+
+def _read_input(path: str, fmt: str, table: str | None):
+    """Resolve an analyze input through the source registry (the reference
+    CLI analyzes any connector's table, not just one format). ``auto``
+    infers from the extension and falls back to parquet (directories)."""
+    import os as _os
+
+    from . import sources
+
+    if fmt == "auto":
+        ext = _os.path.splitext(path.rstrip("/"))[1].lower().lstrip(".")
+        fmt = _EXT_FORMAT.get(ext, "parquet")
+    if fmt == "sqlite":
+        if not table:
+            raise SystemExit("--table is required for sqlite inputs")
+        return sources.read_table(path, "sqlite", table=table)
+    return sources.read_table(path, fmt)
 
 
 def cmd_list_tables(args: argparse.Namespace) -> int:
@@ -210,6 +244,18 @@ def main(argv: list[str] | None = None) -> int:
         "--discover-fk",
         action="store_true",
         help="auto-discover FK relations from sibling tables' *key columns",
+    )
+    a.add_argument(
+        "--source-format",
+        default="auto",
+        help="input format from the source registry (auto = infer from "
+        "extension: parquet/csv/json/orc/feather/arrow/numpy/sqlite)",
+    )
+    a.add_argument(
+        "--table",
+        default=None,
+        help="table name inside a sqlite input (required for .db paths); "
+        "also used as the report's table name",
     )
     a.set_defaults(fn=cmd_analyze)
 

@@ -261,6 +261,45 @@ def test_cli_analyze_severity_detail_view():
     assert "affected" in out.stdout and "pass_rate" in out.stdout
 
 
+def test_cli_analyze_source_formats(tmp_path):
+    """`analyze` must accept any registry format: csv by extension
+    inference, sqlite via --table (reference parity — the reference CLI
+    analyzes whichever connector is configured, not one file format)."""
+    import pandas as pd
+    import sqlite3
+
+    df = pd.read_parquet(f"{SF}/region.parquet")
+    csv_path = tmp_path / "region.csv"
+    df.to_csv(csv_path, index=False)
+    db_path = tmp_path / "tiny.db"
+    with sqlite3.connect(db_path) as conn:
+        df.to_sql("region", conn, index=False)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = [sys.executable, "-m", "rayquality.cli", "--num-cpus", "4", "analyze"]
+    out = subprocess.run(
+        base + [str(csv_path), "--output-dir", str(tmp_path / "r1"), "--formats", "txt"],
+        capture_output=True, text=True, cwd=root,
+    )
+    assert out.returncode in (0, 1), out.stderr[-2000:]
+    assert "region" in out.stdout
+
+    out2 = subprocess.run(
+        base + [str(db_path), "--table", "region",
+                "--output-dir", str(tmp_path / "r2"), "--formats", "txt"],
+        capture_output=True, text=True, cwd=root,
+    )
+    assert out2.returncode in (0, 1), out2.stderr[-2000:]
+    assert "region" in out2.stdout
+
+    # sqlite without --table must fail fast with a clear message
+    out3 = subprocess.run(
+        base + [str(db_path)], capture_output=True, text=True, cwd=root
+    )
+    assert out3.returncode != 0 and "--table is required" in out3.stderr
+    assert out3.stdout == ""  # failed before any analysis ran
+
+
 def test_gate_window_rotation_contract():
     """The driver certifies only the first 50 queries() entries. Round-5
     contract: every query never driver-certified across CORRECTNESS_r01..r04
