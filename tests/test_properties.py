@@ -183,3 +183,54 @@ def test_part_of_range_and_determinism(keys, n_parts, with_salt):
     assert p.dtype == np.int64
     assert ((p >= 0) & (p < n_parts)).all()
     assert (p == _part_of(k, salt, n_parts)).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=1000), max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 5),
+)
+def test_shingle_arrays_matches_naive(texts, k):
+    """The vectorized batch shingler (unique-word blake2b + sliding
+    polynomial fold) must equal a naive per-document implementation for any
+    text and k — it underpins exact/minhash/ngram dedup, so a window
+    off-by-one here corrupts every dedup family member."""
+    import hashlib
+
+    from rayquality.ops.textdedup import _POLY, _shingle_arrays
+
+    def naive_doc(text):
+        words = (text or "").lower().split()
+        hs = [
+            np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+            )
+            for w in words
+        ]
+        out = set()
+        with np.errstate(over="ignore"):
+            if len(hs) >= k:
+                for i in range(len(hs) - k + 1):
+                    v = hs[i]
+                    for x in hs[i + 1 : i + k]:
+                        v = v * _POLY + x
+                    out.add(int(v))
+            elif hs:
+                v = hs[0]
+                for x in hs[1:]:
+                    v = v * _POLY + x
+                out.add(int(v))
+        return out
+
+    dd, ss = _shingle_arrays(texts, k)
+    got = {}
+    for d, s in zip(dd.tolist(), ss.tolist()):
+        got.setdefault(d, set()).add(int(s))
+    want = {i: naive_doc(t) for i, t in enumerate(texts) if naive_doc(t)}
+    assert got == want
