@@ -234,3 +234,39 @@ def test_shingle_arrays_matches_naive(texts, k):
         got.setdefault(d, set()).add(int(s))
     want = {i: naive_doc(t) for i, t in enumerate(texts) if naive_doc(t)}
     assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(-1e7, 1e7, allow_nan=False),
+            # exact half-cent landings — where banker's rounding diverges
+            st.integers(-2_000_001, 2_000_001).map(lambda i: i / 200.0),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_quantize_numpy_arrow_duckdb_agree(vals):
+    """The two cents kernels (numpy sign-floor and Arrow
+    half_towards_infinity) must agree with each other AND with DuckDB's
+    ROUND(x*100) on every input incl. exact .5 landings and negatives —
+    this IS the oracle-parity contract every money hash rides on."""
+    import duckdb
+    import pyarrow as pa
+
+    from rayquality.ops.quant import cents_pa, quantize_i64
+
+    v = np.asarray(vals, np.float64)
+    got_np = quantize_i64(v, 100.0)
+    got_pa = cents_pa(pa.chunked_array([pa.array(v)])).to_numpy(
+        zero_copy_only=False
+    )
+    tbl = pa.table({"x": v})
+    got_db = (
+        duckdb.sql("SELECT CAST(ROUND(x * 100) AS BIGINT) AS c FROM tbl")
+        .fetchnumpy()["c"]
+    )
+    assert (got_np == got_pa).all()
+    assert (got_np == got_db).all()
