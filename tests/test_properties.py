@@ -270,3 +270,26 @@ def test_quantize_numpy_arrow_duckdb_agree(vals):
     )
     assert (got_np == got_pa).all()
     assert (got_np == got_db).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=300))
+def test_knuth_hash_matches_duckdb(keys):
+    """The keyed-sampling rank hash ((key*2654435761) % 2^32, windows.py /
+    sink.py) must equal the SQL expression the oracles use — numpy's
+    uint64 wraparound is mod 2^64, and 2^32 divides 2^64, so the mod-2^32
+    result is exact for any key; DuckDB needs the HUGEINT cast."""
+    import duckdb
+    import pyarrow as pa
+
+    from rayquality.ops.windows import _H32, _KNUTH
+
+    k = np.asarray(keys, np.uint64)
+    with np.errstate(over="ignore"):
+        got = ((k * _KNUTH) % _H32).astype(np.int64)
+    tbl = pa.table({"k": k.astype(np.int64)})
+    want = duckdb.sql(
+        "SELECT CAST(CAST(k AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)"
+        " AS h FROM tbl"
+    ).fetchnumpy()["h"]
+    assert (got == want).all()
