@@ -293,3 +293,46 @@ def test_knuth_hash_matches_duckdb(keys):
         " AS h FROM tbl"
     ).fetchnumpy()["h"]
     assert (got == want).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=500), max_size=50),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(1, 4),
+    st.integers(2, 16),
+)
+def test_minhash_batch_segmentation_matches_per_doc(texts, k, num_perm):
+    """minhash_signatures computes all docs' signature minima in one
+    (P x S) matrix + np.minimum.reduceat over doc segments — the
+    segmentation must equal a per-document min loop exactly (an off-by-one
+    in seg_starts silently mixes neighboring docs' signatures). Docs with
+    no shingles must keep the all-zeros signature."""
+    from rayquality.ops.textdedup import _MERSENNE, _shingle_arrays
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+
+    dd, ss = _shingle_arrays(texts, k)
+    # the kernel's exact batch arithmetic
+    mat = np.zeros((len(texts), num_perm), dtype=np.int64)
+    if len(ss):
+        with np.errstate(over="ignore"):
+            vals = (a[:, None] * (ss[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+        seg_starts = np.nonzero(np.concatenate(([True], dd[1:] != dd[:-1])))[0]
+        mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+        mat[dd[seg_starts]] = mins.T.astype(np.int64)
+
+    # independent per-doc loop over the same hash family
+    want = np.zeros((len(texts), num_perm), dtype=np.int64)
+    for d in range(len(texts)):
+        sh = ss[dd == d]
+        if len(sh):
+            with np.errstate(over="ignore"):
+                v = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            want[d] = v.min(axis=1).astype(np.int64)
+    assert (mat == want).all()
