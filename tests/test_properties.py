@@ -336,3 +336,4 @@ def test_minhash_batch_segmentation_matches_per_doc(texts, k, num_perm):
                 v = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
             want[d] = v.min(axis=1).astype(np.int64)
     assert (mat == want).all()
+
