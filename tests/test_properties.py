@@ -337,3 +337,47 @@ def test_minhash_batch_segmentation_matches_per_doc(texts, k, num_perm):
             want[d] = v.min(axis=1).astype(np.int64)
     assert (mat == want).all()
 
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 48),
+    st.integers(1, 48),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(["raw", "ppm", "png"]),
+    st.sampled_from(["random", "constant", "gradient"]),
+)
+def test_lossless_codecs_roundtrip_any_shape(w, h, seed, fmt, kind):
+    """Lossless codecs must round-trip EXACTLY for any image shape down to
+    1x1 and any content (constant images stress the zlib/filter path,
+    gradients stress PNG row filters) — the flagship's decode stage rides
+    on these byte contracts."""
+    from rayquality import codecs
+
+    rng = np.random.default_rng(seed)
+    if kind == "random":
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    elif kind == "constant":
+        img = np.full((h, w, 3), rng.integers(0, 256), dtype=np.uint8)
+    else:
+        img = (
+            (np.arange(h)[:, None, None] * 3 + np.arange(w)[None, :, None] * 5
+             + np.arange(3)[None, None, :] * 7) % 256
+        ).astype(np.uint8)
+    out = codecs.decode(codecs.encode(img, fmt), fmt)
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(4, 48), st.integers(4, 48), st.integers(0, 2**31 - 1))
+def test_lossy_codec_psnr_floor_any_shape(w, h, seed):
+    """The lossy codec's PSNR >= 40 dB north-rule invariant must hold at
+    any shape, not just the fixture size."""
+    from rayquality import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = codecs.decode(codecs.encode(img, "lossy"), "lossy")
+    assert out.shape == img.shape
+    assert codecs.psnr(img, out) >= 40.0
