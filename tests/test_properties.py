@@ -381,3 +381,27 @@ def test_lossy_codec_psnr_floor_any_shape(w, h, seed):
     out = codecs.decode(codecs.encode(img, "lossy"), "lossy")
     assert out.shape == img.shape
     assert codecs.psnr(img, out) >= 40.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 32), st.integers(0, 2**31 - 1))
+def test_dct_matrix_matches_naive_and_is_orthonormal(n, seed):
+    """phash's DCT matrix must compute the orthonormal DCT-II exactly
+    (naive double-sum parity) and be orthogonal (M @ M.T == I) — the
+    64-bit hash thresholds these coefficients, so any scale error shifts
+    every image's hash."""
+    from rayquality.phash import _dct_matrix
+
+    M = _dct_matrix(n)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    got = M @ v
+    want = np.empty(n)
+    for k in range(n):
+        s = sum(
+            v[i] * np.cos(np.pi * (2 * i + 1) * k / (2 * n)) for i in range(n)
+        )
+        scale = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+        want[k] = s * scale
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    np.testing.assert_allclose(M @ M.T, np.eye(n), atol=1e-10)
