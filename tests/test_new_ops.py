@@ -150,3 +150,33 @@ def test_hash_join_matches_broadcast(rd):
     want_total = int(round(pdf_o["o_totalprice"] * 100).sum())
     assert int(seg["revenue_cents"].sum()) == want_total
     assert int(seg["n_orders"].sum()) == len(pdf_o)
+
+
+def test_feather_source_composes_with_ops(rd, tmp_path):
+    """The feather source must feed the operator chain like any Dataset:
+    documents written as Arrow IPC -> exact dedup -> token filter."""
+    import pyarrow as pa
+    import pyarrow.feather as pf
+
+    from rayquality import sources
+    from rayquality.ops import textdedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma"] * 3 + ["delta epsilon"] * 2
+                + ["zeta", "eta theta iota kappa", "unique text here"]
+            ),
+        }
+    )
+    fdir = tmp_path / "docs_feather"
+    fdir.mkdir()
+    pf.write_feather(docs.slice(0, 4), str(fdir / "a.feather"))
+    pf.write_feather(docs.slice(4), str(fdir / "b.feather"))
+
+    ds = sources.read_table(str(fdir), "feather")
+    deduped = textdedup.exact_dedup(ds, id_col="doc_id", text_col="text")
+    out = deduped.to_pandas().sort_values("doc_id")
+    # 3 copies of one text and 2 of another collapse to their min-id winners
+    assert out["doc_id"].tolist() == [0, 3, 5, 6, 7]
