@@ -977,6 +977,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("cid").reset_index(drop=True)
 
+    def dedup_lines_within_documents(sf):
+        """Intra-document line dedup (C4-style) over composite docs derived
+        deterministically: 4 consecutive docs joined with newlines, then the
+        first doc's text re-appended so every composite carries at least one
+        within-doc duplicate line the op must drop. Shuffle-free per-batch
+        transform (rayquality/ops/curation.py dedup_lines_within_doc)."""
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+
+        def add_cid(df):
+            df = df.dropna(subset=["text"]).copy()
+            df["cid"] = df["doc_id"].to_numpy() // 4
+            return df[["cid", "doc_id", "text"]]
+
+        def join_group(g):
+            import pandas as _pd
+
+            g = g.sort_values("doc_id")
+            text = "\n".join(g["text"])
+            text = text + "\n" + g["text"].iloc[0]  # guaranteed intra-doc dup
+            return _pd.DataFrame({"cid": [g["cid"].iloc[0]], "text": [text]})
+
+        comp = (
+            docs.select_columns(["doc_id", "text"])
+            .map_batches(add_cid, batch_format="pandas")
+            .groupby("cid")
+            .map_groups(join_group, batch_format="pandas")
+        )
+        out = curation.dedup_lines_within_doc(
+            comp, id_col="cid", text_col="text"
+        ).to_pandas()
+        return out.sort_values("cid").reset_index(drop=True)
+
     def distribution_drift_orders(sf):
         """Drift between the full orders table and a deterministically
         derived 'new snapshot' (orderkeys not divisible by 3, prices
@@ -1619,8 +1653,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_sorted_write_orders": range_sorted_write_orders,
         # -- round-5 addition (oracled, enters the window on first round) --
         "sqlite_scan_orders": sqlite_scan_orders,
-        # -- 22 oracled re-certs inside the window (driver-certified green
-        #    in r1-r3; the 23rd re-cert slot moved past the window edge) --
+        "dedup_lines_within_documents": dedup_lines_within_documents,
+        # -- 21 oracled re-certs inside the window (driver-certified green
+        #    in r1-r3; two re-cert slots moved past the window edge for the
+        #    round-5 additions above) --
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
         "duplicate_values_orders": duplicate_values_orders,
@@ -2935,5 +2971,24 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 10) "
             "WHERE rank <= 5 ORDER BY query_id, rank"
+        ),
+        "dedup_lines_within_documents": (
+            # rebuild the composites exactly as the query callable does,
+            # then keep the FIRST occurrence of each line per composite
+            # (MIN ordinal) and re-join in original order
+            "WITH comp AS (SELECT cid, t || chr(10) || first_t AS text FROM ("
+            "  SELECT doc_id // 4 AS cid, "
+            "  string_agg(text, chr(10) ORDER BY doc_id) AS t, "
+            "  arg_min(text, doc_id) AS first_t "
+            "  FROM documents WHERE text IS NOT NULL GROUP BY 1)), "
+            "L AS (SELECT cid, unnest(string_split(text, chr(10))) AS line, "
+            "  unnest(range(len(string_split(text, chr(10))))) AS i FROM comp), "
+            "K AS (SELECT cid, line, MIN(i) AS i FROM L GROUP BY cid, line), "
+            "agg AS (SELECT cid, string_agg(line, chr(10) ORDER BY i) AS text_clean, "
+            "  COUNT(*) AS n_kept FROM K GROUP BY cid) "
+            "SELECT c.cid, a.text_clean, "
+            "CAST(len(string_split(c.text, chr(10))) - a.n_kept AS BIGINT) "
+            "  AS n_removed "
+            "FROM comp c JOIN agg a USING (cid) ORDER BY c.cid"
         ),
     }

@@ -380,6 +380,54 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_lines_within_doc(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> rd.Dataset:
+    """Intra-document line dedup (the C4/RefinedWeb 'drop repeated lines
+    within a page' stage): every repeat of a line already seen EARLIER IN
+    THE SAME document is dropped, first occurrences keep their order ->
+    lazy Dataset (id, text_clean, n_removed).
+
+    Unlike :func:`remove_boilerplate_lines` (cross-document frequency,
+    needs a count shuffle + broadcast), this is a stateless per-batch
+    transform — each document resolves alone, so the op is shuffle-free
+    and scales linearly with input at any corpus size. Vectorized:
+    split -> explode with (doc, line) keys -> pandas ``duplicated`` ->
+    ordered groupby-join; null text is treated as ''."""
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "text_clean": pd.Series([], dtype=object),
+                    "n_removed": pd.Series([], dtype=np.int64),
+                }
+            )
+        split = df[text_col].fillna("").str.split(delim)
+        lens = split.str.len().to_numpy(np.int64)
+        d = np.repeat(np.arange(len(df)), lens)
+        ldf = pd.DataFrame({"d": d, "line": np.concatenate(split.to_numpy())})
+        kept = ldf[~ldf.duplicated()]  # first (doc, line) occurrence, in order
+        grp = kept.groupby("d", sort=True)
+        clean = grp["line"].agg(delim.join).reindex(range(len(df)), fill_value="")
+        n_kept = grp.size().reindex(range(len(df)), fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "text_clean": clean.to_numpy(),
+                "n_removed": lens - n_kept,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas"
+    )
+
+
 def budget_select(
     ds: rd.Dataset,
     id_col: str,

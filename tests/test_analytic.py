@@ -740,3 +740,62 @@ def test_q18_large_volume_customers(rd):
     assert got["total_qty_c100"].tolist() == want["q"].tolist()
     assert got["totalprice_c100"].tolist() == want["totalprice_c100"].tolist()
     assert got["c_name"].tolist() == want["c_name"].tolist()
+
+
+def test_dedup_lines_within_doc(rd):
+    """Intra-doc line dedup: first occurrences keep order, later repeats
+    drop, cross-doc repeats are untouched, null text behaves as ''."""
+    from rayquality.ops.curation import dedup_lines_within_doc
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a\nb\na\nc\nb\na",     # dups of a (x2) and b (x1)
+                "a\nb",                   # same lines, other doc: untouched
+                None,                     # null -> ''
+                "only one line",
+            ],
+        }
+    )
+    got = (
+        dedup_lines_within_doc(rd.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text_clean"].tolist() == ["a\nb\nc", "a\nb", "", "only one line"]
+    assert got["n_removed"].tolist() == [3, 0, 0, 0]
+
+    # naive parity on synthetic multi-line corpus built from real texts
+    base = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").dropna(
+        subset=["text"]
+    )
+    comp = (
+        base.assign(cid=base["doc_id"] // 4)
+        .sort_values("doc_id")
+        .groupby("cid")["text"]
+        .agg("\n".join)
+        .reset_index()
+        .rename(columns={"text": "text"})
+    )
+    comp["text"] = comp["text"] + "\n" + comp["text"].str.split("\n").str[0]
+    got2 = (
+        dedup_lines_within_doc(rd.from_pandas(comp), id_col="cid")
+        .to_pandas()
+        .sort_values("cid")
+        .reset_index(drop=True)
+    )
+
+    def naive(t):
+        seen, out = set(), []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                out.append(ln)
+        return "\n".join(out), len(t.split("\n")) - len(out)
+
+    want = comp["text"].map(naive)
+    assert got2["text_clean"].tolist() == [w[0] for w in want]
+    assert got2["n_removed"].tolist() == [w[1] for w in want]
+    assert (got2["n_removed"] >= 1).all()  # every composite has >= 1 injected dup
