@@ -2972,6 +2972,31 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE q.vec_id < 10) "
             "WHERE rank <= 5 ORDER BY query_id, rank"
         ),
+        "range_sorted_write_orders": (
+            # exact oracle for the range-partitioned sorted SINK's manifest:
+            # the keyed-hash sample, the 15 quantile cutpoints and the
+            # searchsorted range assignment are all exact binary-fraction
+            # arithmetic ((n-1)*i/16 and frac*(delta) are exactly
+            # representable), so numpy and DuckDB agree bit-for-bit;
+            # CAST(floor(c)) matches numpy's astype truncation on the
+            # positive key domain
+            "WITH s AS ("
+            "  SELECT o_orderkey AS k FROM orders "
+            "  WHERE (CAST(o_orderkey AS HUGEINT) * 2654435761) "
+            "    % 4294967296 % 64 = 0), "
+            "qc AS (SELECT unnest(quantile_cont(k, ["
+            + ", ".join(f"{i}/16.0" for i in range(1, 16))
+            + "])) AS c FROM s), "
+            "cuts AS (SELECT DISTINCT CAST(floor(c) AS BIGINT) AS cut FROM qc), "
+            "tagged AS ("
+            "  SELECT o_orderkey AS k, "
+            "  (SELECT COUNT(*) FROM cuts WHERE cut <= o_orderkey) AS range_id "
+            "  FROM orders) "
+            "SELECT CAST(range_id AS BIGINT) AS range_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "MIN(k) AS min_key, MAX(k) AS max_key "
+            "FROM tagged GROUP BY range_id ORDER BY range_id"
+        ),
         "dedup_lines_within_documents": (
             # rebuild the composites exactly as the query callable does,
             # then keep the FIRST occurrence of each line per composite
