@@ -1011,6 +1011,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("cid").reset_index(drop=True)
 
+    def quality_dedup_documents(sf):
+        """Quality-aware exact dedup: keep the max-n_chars (tie: min
+        doc_id) copy per distinct text — the 'keep the best copy'
+        curation semantics (ops/textdedup.py quality_dedup)."""
+        from rayquality.ops import textdedup
+
+        (docs,) = _tables(sf, "documents")
+        out = textdedup.quality_dedup(docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def debounce_events_stream(sf):
+        """Near-duplicate event suppression: keep an event iff it is >=6h
+        after the previous event of the same (user, type) in (ts, id)
+        order — LAG-based debounce (ops/windows.py debounce_events)."""
+        from rayquality.ops import windows
+
+        (ev,) = _tables(sf, "events")
+        out = windows.debounce_events(ev, min_gap_us=21_600_000_000).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)[
+            ["event_id", "kept"]
+        ]
+
+    def decontaminate_overlap_documents(sf):
+        """Graded decontamination: contaminated iff >20% of a doc's
+        distinct word 3-grams appear in the benchmark set (docs with
+        doc_id % 37 == 0) — the overlap-fraction generalization of the
+        any-match decontaminate (ops/curation.py decontaminate_overlap)."""
+        from rayquality.ops import curation
+
+        (docs,) = _tables(sf, "documents")
+        bench = docs.filter(lambda r: r["doc_id"] % 37 == 0)
+        out = curation.decontaminate_overlap(
+            docs, bench, k=3, max_frac_micro=200_000
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def centroid_outliers_embeddings(sf):
+        """Intra-class outlier flags: integer-exact L1 distance to the own
+        label's centroid (quantize-before-sum), outlier iff distance
+        > 6.7 L1 units (ops/cluster.py centroid_outliers)."""
+        from rayquality.ops import cluster
+
+        (emb,) = _tables(sf, "embeddings")
+        out = cluster.centroid_outliers(emb, tau_micro=6_700_000).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)[
+            ["vec_id", "label", "dist1_scaled", "outlier"]
+        ]
+
     def distribution_drift_orders(sf):
         """Drift between the full orders table and a deterministically
         derived 'new snapshot' (orderkeys not divisible by 3, prices
@@ -1651,11 +1699,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_per_type_events": approx_distinct_per_type_events,
         "pq_search_embeddings": pq_search_embeddings,
         "range_sorted_write_orders": range_sorted_write_orders,
-        # -- round-5 addition (oracled, enters the window on first round) --
+        # -- round-5 additions (oracled, enter the window on first round) --
         "sqlite_scan_orders": sqlite_scan_orders,
         "dedup_lines_within_documents": dedup_lines_within_documents,
-        # -- 21 oracled re-certs inside the window (driver-certified green
-        #    in r1-r3; two re-cert slots moved past the window edge for the
+        "quality_dedup_documents": quality_dedup_documents,
+        "debounce_events_stream": debounce_events_stream,
+        "decontaminate_overlap_documents": decontaminate_overlap_documents,
+        "centroid_outliers_embeddings": centroid_outliers_embeddings,
+        # -- 17 oracled re-certs inside the window (driver-certified green
+        #    in r1-r3; six re-cert slots moved past the window edge for the
         #    round-5 additions above) --
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
@@ -3015,5 +3067,57 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(c.text, chr(10))) - a.n_kept AS BIGINT) "
             "  AS n_removed "
             "FROM comp c JOIN agg a USING (cid) ORDER BY c.cid"
+        ),
+        "quality_dedup_documents": (
+            "SELECT doc_id FROM ("
+            "  SELECT doc_id, ROW_NUMBER() OVER ("
+            "    PARTITION BY COALESCE(text, '') "
+            "    ORDER BY n_chars DESC, doc_id) AS rn "
+            "  FROM documents) WHERE rn = 1 ORDER BY doc_id"
+        ),
+        "debounce_events_stream": (
+            "WITH o AS (SELECT event_id, ts, LAG(ts) OVER ("
+            "  PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT event_id, (prev IS NULL OR "
+            "  date_diff('microsecond', prev, ts) >= 21600000000) AS kept "
+            "FROM o ORDER BY event_id"
+        ),
+        "decontaminate_overlap_documents": (
+            # distinct word 3-grams per doc; benchmark = grams of docs with
+            # doc_id % 37 == 0; contaminated iff hits/grams > 0.2 (integer
+            # micro compare — matches the op's exact arithmetic)
+            "WITH w AS (SELECT doc_id, "
+            "  string_split(lower(COALESCE(text, '')), ' ') AS ws FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "  range(1, greatest(len(ws) - 2, 0) + 1), "
+            "  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams FROM w), "
+            "ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g), "
+            "bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 37 = 0), "
+            "hits AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "  CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS n_hit "
+            "  FROM ex e LEFT JOIN bench b USING (gram) GROUP BY 1) "
+            "SELECT g.doc_id, COALESCE(h.n_grams, 0) AS n_grams, "
+            "  COALESCE(h.n_hit, 0) AS n_hit, "
+            "  COALESCE(h.n_hit * 1000000 > 200000 * h.n_grams, FALSE) "
+            "    AS contaminated "
+            "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"
+        ),
+        "centroid_outliers_embeddings": (
+            # integer-exact: micro-quantized elements, centroid as (sum, n)
+            # partials, per-row L1 distance scaled by n so no division ever
+            # happens — same quantization as label_centroids_embeddings
+            "WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, t.i AS i, "
+            "  CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5) "
+            "    AS BIGINT) AS micro "
+            "  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)), "
+            "c AS (SELECT label, i, CAST(SUM(micro) AS BIGINT) AS s, "
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1, 2) "
+            "SELECT q.vec_id, q.label, "
+            "  CAST(SUM(ABS(q.micro * c.n - c.s)) AS BIGINT) AS dist1_scaled, "
+            "  CAST(SUM(ABS(q.micro * c.n - c.s)) AS BIGINT) > 6700000 * MAX(c.n) "
+            "    AS outlier "
+            "FROM q JOIN c USING (label, i) GROUP BY 1, 2 ORDER BY vec_id"
         ),
     }

@@ -601,3 +601,85 @@ def temperature_mixture(
         return df[h < t]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def decontaminate_overlap(
+    ds: rd.Dataset,
+    bench: rd.Dataset,
+    k: int = 3,
+    max_frac_micro: int = 200_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Graded benchmark decontamination (FineWeb/RefinedWeb style): a
+    document is contaminated iff the fraction of its DISTINCT word
+    k-grams that appear anywhere in the benchmark set exceeds
+    ``max_frac_micro`` / 1e6 — the thresholded generalization of
+    :func:`decontaminate`'s any-match rule (which over-drops on common
+    phrases; real pipelines gate on overlap fraction).
+
+    The benchmark (an eval set) is the small side by construction: its
+    distinct shingle hashes are computed distributed, reduced once, and
+    broadcast via ``ray.put`` (one object-store copy per node). Each
+    corpus batch then shingles vectorized (shared
+    :func:`rayquality.ops.textdedup._shingle_arrays` kernel), membership-
+    tests against the sorted benchmark array with one ``searchsorted``,
+    and tallies per-doc hits with ``bincount`` — no shuffle anywhere; the
+    verdict is a pure map over the stream.
+
+    The threshold compare stays in integer arithmetic
+    (``n_hit * 1e6 > max_frac_micro * n_grams``) so it is bit-exact vs
+    the SQL oracle. Documents with fewer than k words (or null/empty
+    text) have n_grams = 0 and are never contaminated.
+
+    Output: lazy (id_col, n_grams:int64, n_hit:int64, contaminated:bool).
+    """
+    import ray
+
+    from .textdedup import _shingle_arrays
+
+    def _texts(t: pa.Table) -> list[str]:
+        # docs shorter than k words contribute NO shingles (blank them out
+        # so the shared kernel's whole-doc fallback shingle never fires —
+        # keeps the semantics expressible in SQL)
+        out = []
+        for s in t[text_col].to_pylist():
+            ws = (s or "").split()
+            out.append(" ".join(ws) if len(ws) >= k else "")
+        return out
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        _dd, ss = _shingle_arrays(_texts(t), k)
+        return pa.table({"sh": pa.array(np.unique(ss), pa.uint64())})
+
+    bdf = (
+        bench.select_columns([text_col])
+        .map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bench_sh = np.unique(bdf["sh"].to_numpy(np.uint64))
+    ref = ray.put(bench_sh)
+
+    def flag(t: pa.Table) -> pd.DataFrame:
+        bs = ray.get(ref)
+        dd, ss = _shingle_arrays(_texts(t), k)
+        n = t.num_rows
+        n_grams = np.bincount(dd, minlength=n).astype(np.int64)
+        hit = np.zeros(n, np.int64)
+        if len(ss) and len(bs):
+            p = np.searchsorted(bs, ss)
+            p[p == len(bs)] = 0
+            ok = bs[p] == ss
+            np.add.at(hit, dd[ok], 1)
+        return pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                "n_grams": n_grams,
+                "n_hit": hit,
+                "contaminated": hit * 1_000_000 > max_frac_micro * n_grams,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow"
+    )

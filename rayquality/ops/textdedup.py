@@ -692,3 +692,65 @@ def dup_rate_by_source(
         sums=["n_docs", "n_dup_docs"],
     ).to_pandas()
     return out.sort_values(source_col).reset_index(drop=True)
+
+
+def quality_dedup(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    n_parts: int | None = None,
+) -> rd.Dataset:
+    """Quality-aware exact dedup: keep the BEST row per distinct content —
+    max ``score_col``, ties broken by min id — instead of
+    :func:`exact_dedup`'s min-id winner. This is the curation semantics
+    production pipelines actually want ("keep the highest-quality copy",
+    e.g. the longest or least-truncated crawl of a duplicated page);
+    equivalent to ``ROW_NUMBER() OVER (PARTITION BY text ORDER BY score
+    DESC, id) = 1``.
+
+    Same shuffle discipline as exact_dedup: the block combiner keeps one
+    best candidate per distinct 16-byte content hash per batch, so the
+    hash partition moves O(distinct-per-block) skinny rows (hash, id,
+    score) — never the document bodies — and a hot content key is bounded
+    to one candidate per block regardless of its duplicate count.
+
+    Output: lazy Dataset of surviving ``[id_col]`` (order-insensitive).
+    """
+    if n_parts is None:
+        n_parts = default_n_parts()
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic argmax (score desc, id asc) per hash: one stable
+        # sort + drop_duplicates(keep="first") — vectorized, no apply
+        df = df.sort_values(
+            ["h", score_col, id_col], ascending=[True, False, True], kind="stable"
+        )
+        return df.drop_duplicates("h", keep="first")
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in df[text_col].tolist()
+        ]
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                score_col: df[score_col].to_numpy(),
+                "h": hs,
+            }
+        )
+        out = best(out)  # block combiner
+        hv = pd.util.hash_pandas_object(out["h"], index=False).to_numpy(np.uint64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g)[[id_col]]
+
+    return (
+        ds.select_columns([id_col, text_col, score_col])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -945,3 +945,57 @@ def out_of_order_stats(
         .groupby("pkey")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def debounce_events(
+    events: rd.Dataset,
+    min_gap_us: int,
+    group_cols: tuple[str, str] = ("user_id", "event_type"),
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    n_parts: int | None = None,
+) -> rd.Dataset:
+    """Near-duplicate event suppression (debounce): an event is kept iff
+    it arrives at least ``min_gap_us`` microseconds after the PREVIOUS
+    event of the same (user, type) in (ts, id) order — LAG semantics
+    (gap measured to the previous row, kept or not), i.e.
+    ``prev IS NULL OR ts - LAG(ts) >= gap``, so the decision is a pure
+    per-row window function, deterministic and SQL-checkable (a
+    relative-to-last-KEPT chain would be iterative and order-fragile).
+    The first event of each (user, type) is always kept.
+
+    Group-hash partitions move only (ids, group keys, int64 ts) — the
+    event payload (props) never shuffles; callers semi-join kept ids back
+    if they need full rows. One vectorized sort + ``groupby.shift`` per
+    partition.
+
+    Output: lazy (id_col, kept:bool).
+    """
+    if n_parts is None:
+        n_parts = default_n_parts()
+    g1, g2 = group_cols
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        hv = pd.util.hash_pandas_object(
+            df[g1].astype(str) + "\x1f" + df[g2].astype(str), index=False
+        ).to_numpy(np.uint64)
+        out = df[[id_col, g1, g2]].copy()
+        out["ts_us"] = df[order_col].to_numpy("datetime64[us]").astype(np.int64)
+        out["pkey"] = (hv % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([g1, g2, "ts_us", id_col], kind="stable")
+        prev = g.groupby([g1, g2])["ts_us"].shift(1)
+        gap_ok = (g["ts_us"] - prev) >= min_gap_us
+        kept = prev.isna() | gap_ok
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "kept": kept.to_numpy(bool)}
+        )
+
+    return (
+        events.select_columns([id_col, g1, g2, order_col])
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -322,7 +322,14 @@ def test_gate_window_rotation_contract():
     # 27 legacy never-certified entries plus any round-5 additions (new
     # queries are by definition uncertified until CORRECTNESS_r05 lands);
     # every one of them must sit inside the 50-entry window.
-    r5_new = {"sqlite_scan_orders", "dedup_lines_within_documents"}
+    r5_new = {
+        "sqlite_scan_orders",
+        "dedup_lines_within_documents",
+        "quality_dedup_documents",
+        "debounce_events_stream",
+        "decontaminate_overlap_documents",
+        "centroid_outliers_embeddings",
+    }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)
     # every window slot that is not a never-certified entry must be an
