@@ -1059,6 +1059,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["vec_id", "label", "dist1_scaled", "outlier"]
         ]
 
+    def edit_distance_dups_documents(sf):
+        """Exact Levenshtein near-dup pairs (dist <= 24): length-banded
+        blocking + char-frequency lower bound + vectorized banded DP —
+        equals the naive quadratic definition bit-for-bit
+        (ops/textdedup.py edit_distance_dups)."""
+        from rayquality.ops import textdedup
+
+        (docs,) = _tables(sf, "documents")
+        out = textdedup.edit_distance_dups(docs, max_dist=24).to_pandas()
+        return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+    def domain_profile_documents(sf):
+        """Per-domain URL mention + distinct-doc counts. testdata text has
+        no URLs, so both sides append the SAME deterministic synthetic
+        URLs (keyed on doc_id) before extraction — the regex + combiner
+        machinery runs on real matches (ops/text.py domain_profile)."""
+        import numpy as np
+        import pandas as pd
+
+        from rayquality.ops import text as textops
+
+        (docs,) = _tables(sf, "documents")
+
+        def augment(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy()
+            t = df["text"].astype(str)
+            host = "host" + (df["doc_id"] % 7).astype(str) + ".example.com"
+            t = t + np.where(
+                ids % 4 == 0, (" see http://" + host + "/page").to_numpy(object), ""
+            )
+            t = t + np.where(
+                ids % 6 == 0,
+                (
+                    " via https://cdn.example.net/asset and http://" + host + "/dup"
+                ).to_numpy(object),
+                "",
+            )
+            return pd.DataFrame({"doc_id": df["doc_id"], "text": t})
+
+        aug = docs.select_columns(["doc_id", "text"]).map_batches(
+            augment, batch_format="pandas"
+        )
+        out = textops.domain_profile(aug).to_pandas()
+        return out.sort_values("domain").reset_index(drop=True)
+
     def distribution_drift_orders(sf):
         """Drift between the full orders table and a deterministically
         derived 'new snapshot' (orderkeys not divisible by 3, prices
@@ -1706,9 +1751,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events_stream": debounce_events_stream,
         "decontaminate_overlap_documents": decontaminate_overlap_documents,
         "centroid_outliers_embeddings": centroid_outliers_embeddings,
-        # -- 17 oracled re-certs inside the window (driver-certified green
-        #    in r1-r3; six re-cert slots moved past the window edge for the
-        #    round-5 additions above) --
+        "edit_distance_dups_documents": edit_distance_dups_documents,
+        "domain_profile_documents": domain_profile_documents,
+        # -- 15 oracled re-certs inside the window (driver-certified green
+        #    in r1-r3; eight re-cert slots moved past the window edge for
+        #    the round-5 additions above) --
         "completeness_customer": completeness_customer,
         "duplicates_orders_custkey": duplicates_orders_custkey,
         "duplicate_values_orders": duplicate_values_orders,
@@ -3103,6 +3150,34 @@ def oracle_sql() -> dict[str, str]:
             "  COALESCE(h.n_hit * 1000000 > 200000 * h.n_grams, FALSE) "
             "    AS contaminated "
             "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"
+        ),
+        "edit_distance_dups_documents": (
+            # the length-band self-join is an optimization only: at band
+            # width 32, |len diff| <= 24 implies |bk diff| <= 1, so the
+            # join misses no qualifying pair vs the naive quadratic scan
+            "WITH d AS (SELECT doc_id, COALESCE(text,'') t, "
+            "  length(COALESCE(text,'')) n FROM documents), "
+            "b AS (SELECT doc_id, t, n, CAST(n/32 AS BIGINT) bk FROM d) "
+            "SELECT a.doc_id AS i, c.doc_id AS j, "
+            "  CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist "
+            "FROM b a JOIN b c ON c.bk BETWEEN a.bk - 1 AND a.bk + 1 "
+            "  AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 24 "
+            "WHERE levenshtein(a.t, c.t) <= 24 ORDER BY i, j"
+        ),
+        "domain_profile_documents": (
+            "WITH aug AS (SELECT doc_id, COALESCE(text,'') "
+            "  || CASE WHEN doc_id % 4 = 0 THEN ' see http://host' "
+            "    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page' "
+            "    ELSE '' END "
+            "  || CASE WHEN doc_id % 6 = 0 THEN "
+            "    ' via https://cdn.example.net/asset and http://host' "
+            "    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/dup' "
+            "    ELSE '' END AS text FROM documents), "
+            "u AS (SELECT doc_id, UNNEST(regexp_extract_all(text, "
+            "  'https?://([a-z0-9.-]+)', 1)) AS domain FROM aug) "
+            "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+            "  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM u GROUP BY domain ORDER BY domain"
         ),
         "centroid_outliers_embeddings": (
             # integer-exact: micro-quantized elements, centroid as (sum, n)

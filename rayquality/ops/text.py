@@ -511,3 +511,75 @@ def corpus_bigram_nll(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+
+
+_URL_DOMAIN_RE = r"https?://([a-z0-9.-]+)"
+
+
+def domain_profile(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Per-domain URL frequency profile — the web-curation staple behind
+    source-reputation weighting and domain blocklists: for every domain
+    that appears in a document URL, the total URL mention count and the
+    number of DISTINCT documents mentioning it.
+
+    Pattern: ``https?://([a-z0-9.-]+)`` — deliberately the RE2-safe subset
+    both Python ``re`` and the DuckDB oracle interpret identically.
+
+    Shuffle discipline: each batch reduces to distinct (domain, doc)
+    partial rows with per-doc mention counts BEFORE the exchange (the
+    boilerplate-lines combiner shape), so the shuffle carries one skinny
+    row per (domain, doc) — never the text. The per-domain distinct-doc
+    count then falls out of a second count-partial combine: after stage 1
+    each (domain, doc) pair is globally unique, so ``n_docs`` is a plain
+    SUM of ones.
+
+    Output: lazy (domain, n_urls:int64, n_docs:int64), one row per domain.
+    """
+    from . import combine as _combine
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if text_col not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"domain": pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "n_urls": pd.Series([], dtype=np.int64)}
+            )
+        s = df[[id_col, text_col]].copy()
+        s["domain"] = s[text_col].fillna("").str.findall(_URL_DOMAIN_RE)
+        e = s[[id_col, "domain"]].explode("domain", ignore_index=True)
+        e = e.dropna(subset=["domain"])
+        g = e.groupby([id_col, "domain"], as_index=False).size()
+        g["n_urls"] = g.pop("size").astype(np.int64)
+        return g
+
+    pairs = _combine.combine_partials(
+        ds.select_columns([id_col, text_col]).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        keys=["domain", id_col],
+        sums=["n_urls"],
+    )
+
+    def dom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "domain" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"domain": pd.Series([], dtype=object),
+                 "n_urls": pd.Series([], dtype=np.int64),
+                 "n_docs": pd.Series([], dtype=np.int64)}
+            )
+        g = df.groupby("domain", as_index=False).agg(
+            n_urls=("n_urls", "sum"), n_docs=(id_col, "size")
+        )
+        g["n_urls"] = g["n_urls"].astype(np.int64)
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    return _combine.combine_partials(
+        pairs.map_batches(dom_partial, batch_format="pandas"),
+        keys=["domain"],
+        sums=["n_urls", "n_docs"],
+    )

@@ -329,6 +329,8 @@ def test_gate_window_rotation_contract():
         "debounce_events_stream",
         "decontaminate_overlap_documents",
         "centroid_outliers_embeddings",
+        "edit_distance_dups_documents",
+        "domain_profile_documents",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)
