@@ -799,18 +799,34 @@ def edit_distance_dups(
     ``w = max(32, max_dist + 1)`` (each doc is emitted to its own band and
     the one above; a pair is evaluated exactly where the LONGER member is
     native — every qualifying pair lands in exactly one partition, none
-    twice). Within a band, two sound lower bounds prune before the DP:
-    the length gap, and the character-frequency gap
-    (sum_c |f_a(c) - f_b(c)| <= 2 * lev, computed as one broadcast matrix
-    op per band). Only survivors pay the O(len * len) banded DP — on web
-    corpora that is the handful of true near-dups plus a thin tail.
-    Neither bound can drop a qualifying pair, so output equals the naive
-    quadratic definition bit-for-bit (the SQL oracle).
+    twice). Within a band, three sound lower bounds prune before the DP:
+    the length gap; the character-frequency gap
+    (sum_c |f_a(c) - f_b(c)| <= 2 * lev); and Ukkonen's q-gram gap
+    (sum_g |q_a(g) - q_b(g)| <= 2 * q * lev for byte q-grams, q=8) with
+    the q-gram counts HASHED into 4096 buckets — collisions only merge
+    counts and can only shrink the left side, so the bucketed inequality
+    still never prunes a qualifying pair. Both gaps are evaluated as
+    CHUNKED dense int16 matrix L1s (a band's pair count times the matrix
+    width would otherwise materialize multi-hundred-MB int64 temporaries
+    — the measured hot spot); the wide q-gram bound is what kills
+    same-vocabulary false candidates (shared word distributions make char
+    frequencies alike while 8-byte-gram profiles stay almost disjoint),
+    and it only runs on char-gap survivors. Only pairs clearing all three
+    pay the O(len * len) banded DP — on web corpora that is the handful
+    of true near-dups. No bound can drop a qualifying pair, so output
+    equals the naive quadratic definition bit-for-bit (the SQL oracle).
 
     Skew contract: one length band must fit one task (same contract as
     the grouped window ops); at 100 TB shard hot bands by a secondary
     prefix key before pairing. Text moves once (into its two band
     copies) — pairs shuffle only ids + the distance.
+
+    Pruning regime: the frequency bounds are decisive when
+    ``max_dist << len / q`` (real web documents). When the threshold is a
+    large fraction of the doc length (e.g. d=24 on ~200-char docs), ANY
+    sound count bound must admit near-total profile divergence
+    (q * d approaches the gram count), so the early-exiting DP on the
+    band's candidate pairs is the honest remaining cost.
 
     Output: lazy (i, j, dist:int64) with i < j, one row per pair.
     """
@@ -828,18 +844,39 @@ def edit_distance_dups(
         hi["band"] = bk + 1
         return pd.concat([lo, hi], ignore_index=True)
 
+    def pair_l1(mat: np.ndarray, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+        # chunked pairwise L1 between int32 count rows: bounds peak temp
+        # memory to chunk x width x 4 bytes instead of |pairs| x width x 8
+        out = np.empty(len(ii), np.int64)
+        chunk = max(1, (1 << 22) // mat.shape[1])  # ~16 MB int32 temps
+        for s in range(0, len(ii), chunk):
+            a = mat[ii[s : s + chunk]] - mat[jj[s : s + chunk]]
+            out[s : s + chunk] = np.abs(a, out=a).sum(axis=1, dtype=np.int64)
+        return out
+
     def pair_band(g: pd.DataFrame) -> pd.DataFrame:
         p = int(g["band"].iat[0])
         ids = g[id_col].to_numpy()
         texts = g["t"].to_numpy(object)
         n = g["n"].to_numpy(np.int64)
         bk = g["bk"].to_numpy(np.int64)
-        # char-frequency matrix over the band's observed alphabet
+        # per-doc char-frequency and bucketed 8-gram-frequency matrices
+        # (int32: counts bounded by doc length; diffs can never overflow)
         enc = [np.frombuffer(t.encode("utf-8"), np.uint8) for t in texts]
-        freq = np.zeros((len(ids), 256), np.int64)
+        freq = np.zeros((len(ids), 256), np.int32)
+        qfreq = np.zeros((len(ids), 4096), np.int32)
         for r, e in enumerate(enc):
             if len(e):
-                freq[r] += np.bincount(e, minlength=256)
+                freq[r] += np.bincount(e, minlength=256).astype(np.int32)
+            if len(e) >= 8:
+                h = np.zeros(len(e) - 7, np.uint64)
+                for off in range(8):
+                    h = h * np.uint64(1099511628211) + e[off : len(e) - 7 + off]
+                # hash -> 4096 buckets (collisions are safe: they only
+                # merge counts, shrinking the L1 lower bound)
+                qfreq[r] += np.bincount(
+                    (h >> np.uint64(52)).astype(np.int64), minlength=4096
+                ).astype(np.int32)
         ii, jj = np.triu_indices(len(ids), k=1)
         # canonical orientation i < j by id
         flip = ids[ii] > ids[jj]
@@ -848,8 +885,10 @@ def edit_distance_dups(
         keep &= np.maximum(bk[ii], bk[jj]) == p  # exactly-once ownership
         ii, jj = ii[keep], jj[keep]
         if len(ii):
-            gap = np.abs(freq[ii] - freq[jj]).sum(axis=1)
-            ok = gap <= 2 * max_dist
+            ok = pair_l1(freq, ii, jj) <= 2 * max_dist
+            ii, jj = ii[ok], jj[ok]
+        if len(ii):
+            ok = pair_l1(qfreq, ii, jj) <= 2 * 8 * max_dist
             ii, jj = ii[ok], jj[ok]
         out_i, out_j, out_d = [], [], []
         for a, b in zip(ii, jj):
