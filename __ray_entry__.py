@@ -1528,6 +1528,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res
 
+    def pagerank_exact_events(sf):
+        """Integer fixed-point PageRank over the same user<->event-type
+        engagement graph as ``pagerank_events``, but with floor-division
+        arithmetic run for a FIXED 12 rounds — bit-exact and therefore
+        hash-oracled by a recursive CTE (the float variant above is
+        rows-only because FP summation order is nondeterministic)."""
+        import numpy as _np
+        import pandas as _pd
+        import pyarrow as _pa
+
+        from rayquality.ops import graph
+
+        (ev,) = _tables(sf, "events")
+        TYPE_BASE = 10**12
+        types = ["click", "error", "purchase", "signup", "view"]
+        code = {t: TYPE_BASE + i for i, t in enumerate(types)}
+
+        def to_edges(t: "_pa.Table") -> "_pa.Table":
+            users = t["user_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+            tnode = (
+                _pd.Series(t["event_type"].to_pylist()).map(code).to_numpy(_np.int64)
+            )
+            return _pa.table(
+                {
+                    "src": _pa.array(_np.concatenate([users, tnode])),
+                    "dst": _pa.array(_np.concatenate([tnode, users])),
+                }
+            )
+
+        edges = ev.select_columns(["user_id", "event_type"]).map_batches(
+            to_edges, batch_format="pyarrow"
+        )
+        out = graph.pagerank_fixed_point(
+            edges, id_col="node_id", n_parts=16, iters=12
+        ).to_pandas()
+        return out.sort_values("node_id").reset_index(drop=True)
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1753,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_outliers_embeddings": centroid_outliers_embeddings,
         "edit_distance_dups_documents": edit_distance_dups_documents,
         "domain_profile_documents": domain_profile_documents,
+        "pagerank_exact_events": pagerank_exact_events,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3163,6 +3201,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM b a JOIN b c ON c.bk BETWEEN a.bk - 1 AND a.bk + 1 "
             "  AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 24 "
             "WHERE levenshtein(a.t, c.t) <= 24 ORDER BY i, j"
+        ),
+        "pagerank_exact_events": (
+            # integer fixed-point PageRank, 12 rounds, damping 85/100: every
+            # step is BIGINT floor division so the recursion reproduces the
+            # engine's BSP result bit-exactly (ops/graph.py
+            # pagerank_fixed_point docstring states the shared recurrence)
+            "WITH RECURSIVE be AS (SELECT user_id AS u, CASE event_type "
+            "    WHEN 'click' THEN 1000000000000 "
+            "    WHEN 'error' THEN 1000000000001 "
+            "    WHEN 'purchase' THEN 1000000000002 "
+            "    WHEN 'signup' THEN 1000000000003 "
+            "    WHEN 'view' THEN 1000000000004 END AS t FROM events), "
+            "e AS (SELECT u AS src, t AS dst FROM be "
+            "      UNION ALL SELECT t, u FROM be), "
+            "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+            "        FROM e GROUP BY src), "
+            "consts AS (SELECT CAST(1000000000000 AS BIGINT) "
+            "           // CAST(COUNT(*) AS BIGINT) AS r0 FROM deg), "
+            "pr(it, node, r) AS ("
+            "  SELECT 0, node, (SELECT r0 FROM consts) FROM deg "
+            "  UNION ALL "
+            "  SELECT pr.it + 1, e.dst, "
+            "    (15 * c.r0) // 100 + SUM((85 * (pr.r // d.d)) // 100) "
+            "  FROM pr JOIN e ON e.src = pr.node "
+            "    JOIN deg d ON d.node = pr.node, consts c "
+            "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
+            "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
+            "ORDER BY node_id"
         ),
         "domain_profile_documents": (
             "WITH aug AS (SELECT doc_id, COALESCE(text,'') "

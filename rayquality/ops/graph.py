@@ -464,3 +464,199 @@ def pagerank(
     if work_dir is None:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank — integer floor-division arithmetic, so the result is
+# EXACTLY reproducible (order-independent int64 sums, no FP rounding drift)
+# and therefore admits an exact recursive-CTE SQL oracle, unlike the float
+# power iteration above whose summation order is nondeterministic.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _prx_load_adj(adj_path: str, p: int, state: tuple) -> tuple:
+    """(src local idx, dst, per-NODE out-degree int64) for one partition.
+    Hash(src) partitioning makes the out-degree partition-local exact."""
+    ids, _ = state
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    part_dir = os.path.join(adj_path, f"pkey={p}")
+    if not os.path.isdir(part_dir) or len(ids) == 0:
+        return empty
+    t = pq.read_table(part_dir, columns=["src", "dst"])
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.searchsorted(ids, src)
+    ok = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == src)
+    idx, dst = idx[ok].astype(np.int64), dst[ok]
+    outdeg = np.bincount(idx, minlength=len(ids)).astype(np.int64)
+    return (idx, dst, outdeg)
+
+
+@ray.remote
+def _prx_propagate(
+    adj: tuple, state: tuple, dnum: int, dden: int, n_parts: int
+) -> list:
+    """Emit integer contributions (dnum * (rank[src] // outdeg[src])) // dden
+    per edge, pre-split by destination partition (num_returns=n_parts)."""
+    src_idx, dst, outdeg = adj
+    ids, rank = state
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(src_idx) == 0 or len(ids) == 0:
+        return [empty] * n_parts
+    share = rank // np.maximum(outdeg, 1)  # floor per source node
+    contrib = (np.int64(dnum) * share[src_idx]) // np.int64(dden)
+    pk = _pkey(dst, n_parts)
+    order = np.argsort(pk, kind="stable")
+    d, c, pk = dst[order], contrib[order], pk[order]
+    bounds = np.searchsorted(pk, np.arange(n_parts + 1))
+    return [
+        (d[bounds[q]:bounds[q + 1]], c[bounds[q]:bounds[q + 1]])
+        for q in range(n_parts)
+    ]
+
+
+@ray.remote
+def _prx_combine(state: tuple, base: int, *proposals: tuple) -> tuple:
+    """new_rank = base + sum(integer contributions); int64 adds commute, so
+    the fold is proposal-order independent (bit-exact across runs)."""
+    ids, _ = state
+    new = np.full(len(ids), np.int64(base), np.int64)
+    for d, c in proposals:
+        if len(d) == 0 or len(ids) == 0:
+            continue
+        idx = np.searchsorted(ids, d)
+        ok = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == d)
+        np.add.at(new, idx[ok], c[ok])
+    return (ids, new)
+
+
+@ray.remote
+def _prx_to_arrow(state: tuple, id_col: str) -> pa.Table:
+    ids, rank = state
+    return pa.table({id_col: pa.array(ids), "rank_fp": pa.array(rank)})
+
+
+def pagerank_fixed_point(
+    edges: rd.Dataset | pd.DataFrame,
+    id_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 12,
+    scale: int = 10**12,
+    n_parts: int | None = None,
+    work_dir: str | None = None,
+) -> rd.Dataset:
+    """Deterministic integer PageRank -> lazy Dataset ``(id_col, rank_fp)``
+    with ranks in fixed-point units of ``1/scale`` of the initial mass.
+
+    Recurrence (every operation in int64, floor division):
+
+        r0[v]  = scale // n
+        r'[v]  = ((dden - dnum) * (scale // n)) // dden
+                 + sum over edges u->v of (dnum * (r[u] // outdeg[u])) // dden
+
+    run for exactly ``iters`` rounds — no tolerance early-stop, because the
+    SQL oracle iterates the same fixed count. Floor division makes every
+    step order-independent, so the result is bit-exact across runs,
+    partition counts, and engines: DuckDB reproduces it with a recursive
+    CTE using ``//`` integer division (see ``pagerank_exact_events`` in
+    ``__ray_entry__.py``). Total mass decays slightly per round (floors
+    discard remainders) — this is a *ranking*, not a probability vector;
+    use :func:`pagerank` when calibrated probabilities matter.
+
+    Contract: the edge multiset must be symmetric (or at minimum give every
+    node >=1 out-edge and >=1 in-edge) — the node universe is derived from
+    edge SOURCES, and a node with no in-edges would keep only the base term
+    here while dropping out of the SQL recursion entirely. Dangling mass is
+    intentionally NOT redistributed (no dangling nodes can exist under the
+    contract). Same static hive-partitioned BSP as :func:`pagerank`:
+    adjacency shuffled once via the partitioned write, per-round traffic is
+    P x P object refs of (dst, contribution) arrays, driver sees refs only.
+
+    Reference parity: extends the reference's duplicate *detection*
+    validators with graph centrality the same way connected_components
+    does; the reference has no graph operator (see module docstring).
+    """
+    if n_parts is None:
+        n_parts = default_n_parts()
+    P = max(2, int(n_parts))
+    dnum, dden = int(damping_num), int(damping_den)
+    tmp = work_dir or tempfile.mkdtemp(prefix="rayquality_prx_")
+    adj_path = os.path.join(tmp, "adj")
+    nodes_path = os.path.join(tmp, "nodes")
+
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    src_col: edges[src_col].to_numpy(np.int64),
+                    dst_col: edges[dst_col].to_numpy(np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns([src_col, dst_col])
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("pkey", pa.int64())]
+            ).empty_table()
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(s), "dst": pa.array(d), "pkey": pa.array(_pkey(s, P))}
+        )
+
+    def src_nodes(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("pkey", pa.int64())]
+            ).empty_table()
+        s = np.unique(t[src_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({id_col: pa.array(s), "pkey": pa.array(_pkey(s, P))})
+
+    tagged = edges.map_batches(tag_edges, batch_format="pyarrow")
+    tagged.write_parquet(adj_path, partition_cols=["pkey"], mode="overwrite")
+    # node universe = distinct edge sources (combiner: per-batch unique;
+    # _init_labels re-uniques per partition after the shuffle)
+    edges.map_batches(src_nodes, batch_format="pyarrow").write_parquet(
+        nodes_path, partition_cols=["pkey"], mode="overwrite"
+    )
+
+    state = [_init_labels.remote(nodes_path, p, id_col) for p in range(P)]
+    adj = [_prx_load_adj.remote(adj_path, p, state[p]) for p in range(P)]
+
+    @ray.remote
+    def _count(st: tuple) -> int:
+        return len(st[0])
+
+    @ray.remote
+    def _init_rank(st: tuple, r0: int) -> tuple:
+        ids, _ = st
+        return (ids, np.full(len(ids), np.int64(r0), np.int64))
+
+    n_total = int(sum(ray.get([_count.remote(state[p]) for p in range(P)])))
+    r0 = int(scale) // max(n_total, 1)
+    base = ((dden - dnum) * r0) // dden
+    state = [_init_rank.remote(state[p], r0) for p in range(P)]
+
+    for _ in range(max(int(iters), 0)):
+        props = [
+            _prx_propagate.options(num_returns=P).remote(
+                adj[p], state[p], dnum, dden, P
+            )
+            for p in range(P)
+        ]
+        state = [
+            _prx_combine.remote(state[p], base, *[props[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+    refs = [_prx_to_arrow.remote(state[p], id_col) for p in range(P)]
+    ray.wait(refs, num_returns=len(refs))  # force reads before rmtree
+    out = rd.from_arrow_refs(refs)
+    if work_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

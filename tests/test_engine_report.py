@@ -331,6 +331,7 @@ def test_gate_window_rotation_contract():
         "centroid_outliers_embeddings",
         "edit_distance_dups_documents",
         "domain_profile_documents",
+        "pagerank_exact_events",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)

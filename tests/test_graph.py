@@ -141,3 +141,54 @@ def test_components_on_real_jaccard_pairs(rd):
     assert dict(zip(got["doc_id"], got["comp"])) == want
     # clusters exist in the testdata (documents have near-dup templates)
     assert (got["doc_id"] != got["comp"]).any()
+
+
+def test_pagerank_fixed_point_naive_parity(rd):
+    """Engine BSP == a direct numpy simulation of the integer recurrence on
+    a random SYMMETRIC multigraph (the op's documented contract), and the
+    result is bit-identical across two different partition counts."""
+    from rayquality.ops.graph import pagerank_fixed_point
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 300).astype(np.int64)
+    b = rng.integers(0, 60, 300).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    edges = pd.DataFrame({"src": src, "dst": dst})
+
+    got = (
+        pagerank_fixed_point(edges, id_col="node_id", n_parts=8, iters=12)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+
+    # naive reference: the exact int64 floor-division recurrence
+    nodes = np.unique(src)
+    pos = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    si = np.fromiter((pos[int(s)] for s in src), np.int64, len(src))
+    di = np.fromiter((pos[int(d)] for d in dst), np.int64, len(dst))
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    r0 = 10**12 // n
+    base = (15 * r0) // 100
+    r = np.full(n, r0, np.int64)
+    for _ in range(12):
+        share = r // np.maximum(outdeg, 1)
+        contrib = (85 * share[si]) // 100
+        new = np.full(n, base, np.int64)
+        np.add.at(new, di, contrib)
+        r = new
+
+    assert got["node_id"].to_numpy().tolist() == nodes.tolist()
+    assert got["rank_fp"].to_numpy().tolist() == r.tolist()
+
+    again = (
+        pagerank_fixed_point(edges, id_col="node_id", n_parts=3, iters=12)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    assert again["rank_fp"].to_numpy().tolist() == r.tolist()
