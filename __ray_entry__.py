@@ -1565,6 +1565,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("node_id").reset_index(drop=True)
 
+    def hll_registers_orders(sf):
+        """Exact HLL register state over orders.o_custkey (p=12): integer
+        max-rank per bucket is order/batch-split independent, and splitmix64
+        is plain mod-2^64 arithmetic, so the sketch STATE gets a hash-exact
+        DuckDB oracle (the float estimate stays rows-only by design)."""
+        from rayquality.ops import sketch
+
+        (od,) = _tables(sf, "orders")
+        return sketch.hll_registers(od, "o_custkey", precision=12)
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1791,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_dups_documents": edit_distance_dups_documents,
         "domain_profile_documents": domain_profile_documents,
         "pagerank_exact_events": pagerank_exact_events,
+        "hll_registers_orders": hll_registers_orders,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3229,6 +3240,34 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "hll_registers_orders": (
+            # splitmix64 reproduced exactly in SQL: HUGEINT add/xor/shift
+            # mod 2^64, with each 64x64-bit multiply split into 32-bit
+            # halves (a*b mod 2^64 = alo*blo + ((alo*bhi + ahi*blo) mod
+            # 2^32) << 32); rank = leading zeros of the 52-bit suffix + 1
+            # via exact binary-string bit length (float log2 would round
+            # wrong past 2^53 — same pitfall ops/sketch.py documents)
+            "WITH s AS (SELECT "
+            "  (o_custkey::HUGEINT + 11400714819323198485) "
+            "    % 18446744073709551616 AS x0, "
+            "  xor(x0, x0 >> 30) AS a1, "
+            "  ((a1 % 4294967296) * 484763065 "
+            "   + (((a1 % 4294967296) * 3210233709 "
+            "      + (a1 >> 32) * 484763065) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x1, "
+            "  xor(x1, x1 >> 27) AS a2, "
+            "  ((a2 % 4294967296) * 321982955 "
+            "   + (((a2 % 4294967296) * 2496678331 "
+            "      + (a2 >> 32) * 321982955) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x2, "
+            "  xor(x2, x2 >> 31) AS h "
+            "  FROM orders WHERE o_custkey IS NOT NULL) "
+            "SELECT CAST(h >> 52 AS BIGINT) AS bucket, "
+            "  CAST(MAX(CASE WHEN (h << 12) % 18446744073709551616 = 0 "
+            "    THEN 53 ELSE 65 - length(bin((h << 12) "
+            "      % 18446744073709551616)) END) AS BIGINT) AS register "
+            "FROM s GROUP BY 1 ORDER BY 1"
         ),
         "domain_profile_documents": (
             "WITH aug AS (SELECT doc_id, COALESCE(text,'') "

@@ -140,6 +140,63 @@ def approx_distinct(ds: rd.Dataset, column: str, precision: int = 12) -> dict:
     }
 
 
+def hll_registers(
+    ds: rd.Dataset, column: str, precision: int = 12
+) -> pd.DataFrame:
+    """The merged HLL sketch's REGISTER STATE as a DataFrame
+    ``(bucket:int64, register:int64)``, non-zero registers only, sorted by
+    bucket.
+
+    The estimate (:func:`approx_distinct`) is float math and stays
+    rows-only in the correctness gate; the registers are pure integer
+    state — ``register[j] = max over values hashed to bucket j of
+    (leading zeros of the 52-bit suffix + 1)`` — and elementwise-max is
+    order-independent, so this output is bit-exact across runs, batch
+    splits, and engines. splitmix64 is public arithmetic (add/xor/shift/
+    multiply mod 2^64), so DuckDB reproduces it exactly with HUGEINT
+    32-bit-split multiplication; see ``hll_registers_orders`` in
+    ``__ray_entry__.py`` for the oracle. Certifying the sketch state
+    certifies every downstream estimate.
+
+    Same shuffle-free plan as :func:`approx_distinct`: one sketch per
+    batch, tree-merged 1024-at-a-time, registers decoded on the driver
+    (O(2^p), not O(rows)). Int64-typed columns only — the string path
+    hashes via pandas' hash_array, which SQL cannot reproduce.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        sk = HllSketch(precision)
+        col = t[column].drop_null()
+        if len(col):
+            sk.add(col.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"registers": pa.array([sk.registers.tobytes()], pa.large_binary())}
+        )
+
+    def merge_blobs(t: pa.Table) -> pa.Table:
+        mats = np.stack(
+            [np.frombuffer(b.as_py(), np.uint8) for b in t["registers"]]
+        )
+        return pa.table(
+            {"registers": pa.array([mats.max(axis=0).tobytes()], pa.large_binary())}
+        )
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(merge_blobs, batch_size=1024, batch_format="pyarrow")
+        .to_pandas()
+    )
+    regs = np.zeros(1 << precision, dtype=np.uint8)
+    if len(parts):
+        stacked = np.stack([np.frombuffer(b, np.uint8) for b in parts["registers"]])
+        regs = stacked.max(axis=0)
+    nz = np.nonzero(regs)[0]
+    return pd.DataFrame(
+        {"bucket": nz.astype(np.int64), "register": regs[nz].astype(np.int64)}
+    )
+
+
 def exact_quantiles(
     ds: rd.Dataset, column: str, qs: list[float]
 ) -> pd.DataFrame:

@@ -332,6 +332,7 @@ def test_gate_window_rotation_contract():
         "edit_distance_dups_documents",
         "domain_profile_documents",
         "pagerank_exact_events",
+        "hll_registers_orders",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)

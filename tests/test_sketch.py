@@ -84,3 +84,30 @@ def test_heavy_hitters_guarantee(ray_session):
     assert 42 in found and 7 in found
     assert found[42] <= 4000 and found[7] <= 2500
     assert found[42] > 4000 - 2 * n / 64 - 1
+
+
+def test_hll_registers_state_exact(ray_session):
+    """hll_registers == the whole-column HllSketch state, independent of
+    batch splits (elementwise max commutes), and every rank is in the valid
+    [1, 53] range for p=12."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayquality.ops.sketch import hll_registers
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 2**62, size=30_000).astype(np.int64)
+    df = pd.DataFrame({"x": vals})
+
+    got = hll_registers(rd.from_pandas(df).repartition(13), "x", precision=12)
+
+    ref = HllSketch(12)
+    ref.add(vals)
+    nz = np.nonzero(ref.registers)[0]
+    assert got["bucket"].to_numpy().tolist() == nz.tolist()
+    assert got["register"].to_numpy().tolist() == ref.registers[nz].tolist()
+    assert got["register"].between(1, 53).all()
+
+    # different partitioning -> identical state
+    again = hll_registers(rd.from_pandas(df).repartition(2), "x", precision=12)
+    assert again.equals(got)
