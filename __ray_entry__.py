@@ -1575,6 +1575,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (od,) = _tables(sf, "orders")
         return sketch.hll_registers(od, "o_custkey", precision=12)
 
+    def kcenter_exact_embeddings(sf):
+        """Greedy k-center over micro-quantized int64 embeddings (k=12):
+        integer squared-L2 makes the full pick sequence bit-exact, so the
+        recursive-CTE oracle reproduces rank, winner id, and coverage
+        radius of every pick (the float kcenter_embeddings stays rows-only
+        — its argmax tie-breaks sit on FP rounding noise)."""
+        from rayquality.ops import cluster
+
+        (em,) = _tables(sf, "embeddings")
+        return cluster.kcenter_fixed_point(em, k=12)
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1802,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_profile_documents": domain_profile_documents,
         "pagerank_exact_events": pagerank_exact_events,
         "hll_registers_orders": hll_registers_orders,
+        "kcenter_exact_embeddings": kcenter_exact_embeddings,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3240,6 +3252,42 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "kcenter_exact_embeddings": (
+            # the Gonzalez greedy selection replayed in SQL: state carries
+            # every point's quantized min-distance-to-centers; the window's
+            # FIRST_VALUE is the round winner (max mind, ties -> min id;
+            # centers pinned to -1 sort last); pick/rad latch the winner's
+            # rank and coverage radius the round it wins
+            "WITH RECURSIVE q AS (SELECT vec_id, list_transform(embedding, "
+            "    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) "
+            "         AS BIGINT)) AS v FROM embeddings), "
+            "c0 AS (SELECT vec_id AS cid, v AS cv FROM q "
+            "       ORDER BY vec_id LIMIT 1), "
+            "st(it, id, v, mind, pick, rad) AS ("
+            "  SELECT 0, q.vec_id, q.v, "
+            "    CASE WHEN q.vec_id = c0.cid THEN CAST(-1 AS BIGINT) "
+            "      ELSE CAST(list_sum(list_transform(list_zip(q.v, c0.cv), "
+            "        x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) END, "
+            "    CASE WHEN q.vec_id = c0.cid THEN 1 END, "
+            "    CASE WHEN q.vec_id = c0.cid THEN CAST(-1 AS BIGINT) END "
+            "  FROM q, c0 "
+            "  UNION ALL "
+            "  SELECT it + 1, id, v, "
+            "    CASE WHEN id = FIRST_VALUE(id) OVER w OR mind = -1 "
+            "      THEN CAST(-1 AS BIGINT) "
+            "      ELSE LEAST(mind, CAST(list_sum(list_transform("
+            "        list_zip(v, FIRST_VALUE(v) OVER w), "
+            "        x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)) END, "
+            "    COALESCE(pick, CASE WHEN id = FIRST_VALUE(id) OVER w "
+            "      THEN it + 2 END), "
+            "    COALESCE(rad, CASE WHEN id = FIRST_VALUE(id) OVER w "
+            "      THEN mind END) "
+            "  FROM st WHERE it < 11 "
+            "  WINDOW w AS (ORDER BY mind DESC, id)) "
+            "SELECT CAST(pick AS BIGINT) AS rank, CAST(id AS BIGINT) AS "
+            "vec_id, CAST(rad AS BIGINT) AS radius_q "
+            "FROM st WHERE it = 11 AND pick IS NOT NULL ORDER BY rank"
         ),
         "hll_registers_orders": (
             # splitmix64 reproduced exactly in SQL: HUGEINT add/xor/shift

@@ -306,6 +306,146 @@ def kcenter_select(
     return pd.DataFrame(picks, columns=["rank", "id", "radius_sq"])
 
 
+def kcenter_fixed_point(
+    ds: rd.Dataset,
+    k: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> pd.DataFrame:
+    """Greedy k-center over MICRO-QUANTIZED embeddings with int64 squared-L2
+    -> DataFrame ``(rank, vec_id, radius_q)`` — the bit-exact counterpart of
+    :func:`kcenter_select` (same Gonzalez farthest-point greedy, same
+    distributed shape), quantized like :func:`label_centroids` so the whole
+    selection sequence admits an exact recursive-CTE SQL oracle
+    (``kcenter_exact_embeddings`` in ``__ray_entry__.py``): integer
+    distances make every argmax comparison order-independent, where float
+    distances tie-break on accumulated rounding noise.
+
+    Deterministic contract: pick 1 is the MINIMUM id (``radius_q = -1`` —
+    no coverage radius exists before the first center); pick r wins
+    ``max(mind)`` with ties broken by min id; a picked center's ``mind`` is
+    pinned to -1 so it can never re-win (0-distance duplicates can).
+    ``radius_q`` of pick r is the winner's quantized squared distance to
+    the previous centers — the standard coverage-radius diagnostic.
+    Overflow bound: |element| * scale < 2^21 and dim < 2^21 keeps the
+    squared sum far inside int64. Requires ``k <= n`` distinct ids.
+
+    Distributed shape (same as kcenter_select): skinny (id, qvec, mind)
+    state in the object store; per round one vectorized pass updates mind
+    against only the newest center (broadcast via ``ray.put``) and a
+    per-block argmax reduces to one candidate row per block — O(k) rounds,
+    O(N*d) work per round, O(d) driver state per round.
+    """
+    SENTINEL = np.int64(-1)
+
+    def init(t: pa.Table) -> pa.Table:
+        m = _mat(t[vec_col])
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "qvec": pa.array(list(q), pa.list_(pa.int64())),
+                "mind": pa.array(np.full(len(ids), np.iinfo(np.int64).max)),
+            }
+        )
+
+    state = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(init, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def block_argmax(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "mind": pa.array([], pa.int64()),
+                "qvec": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        mind = t["mind"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        live = mind != SENTINEL
+        if not live.any():
+            return empty
+        lids, lmind = ids[live], mind[live]
+        order = np.lexsort((lids, -lmind))
+        i = order[0]
+        qm = _mat(t["qvec"]).astype(np.int64)[live][i]
+        return pa.table(
+            {
+                id_col: pa.array([lids[i]]),
+                "mind": pa.array([lmind[i]]),
+                "qvec": pa.array([qm.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def make_update(cref, cid):
+        def update(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _mat(t["qvec"]).astype(np.int64)
+            diff = m - c[None, :]
+            d = (diff * diff).sum(axis=1)
+            mind = t["mind"].to_numpy(zero_copy_only=False)
+            new = np.where(mind == SENTINEL, SENTINEL, np.minimum(mind, d))
+            new[t[id_col].to_numpy(zero_copy_only=False) == cid] = SENTINEL
+            return t.set_column(
+                t.schema.get_field_index("mind"), "mind", pa.array(new)
+            )
+
+        return update
+
+    # pick 1: minimum id (mind still at int64 max everywhere)
+    first = state.map_batches(
+        lambda t: pa.table({id_col: pa.array([int(t[id_col].to_numpy(
+            zero_copy_only=False).min())] if len(t) else [], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(first):
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype=np.int64),
+             "vec_id": pd.Series([], dtype=np.int64),
+             "radius_q": pd.Series([], dtype=np.int64)}
+        )
+    c0 = int(first[id_col].min())
+
+    def grab_vec(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == c0)[0]
+        if not len(hit):
+            return pa.table({"qvec": pa.array([], pa.list_(pa.int64()))})
+        qm = _mat(t["qvec"]).astype(np.int64)[hit[0]]
+        return pa.table({"qvec": pa.array([qm.tolist()], pa.list_(pa.int64()))})
+
+    vec0 = state.map_batches(grab_vec, batch_format="pyarrow").to_pandas()
+    cref = ray.put(np.asarray(vec0["qvec"].iloc[0], dtype=np.int64))
+    state = state.map_batches(
+        make_update(cref, c0), batch_format="pyarrow"
+    ).materialize()
+
+    picks: list[tuple[int, int, int]] = [(1, c0, -1)]
+    for rank in range(2, int(k) + 1):
+        tops = state.map_batches(block_argmax, batch_format="pyarrow").to_pandas()
+        if not len(tops):
+            break
+        tops = tops.sort_values(
+            ["mind", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        row = tops.iloc[0]
+        cid = int(row[id_col])
+        picks.append((rank, cid, int(row["mind"])))
+        cref = ray.put(np.asarray(row["qvec"], dtype=np.int64))
+        state = state.map_batches(
+            make_update(cref, cid), batch_format="pyarrow"
+        ).materialize()
+    out = pd.DataFrame(picks, columns=["rank", "vec_id", "radius_q"])
+    return out.astype({"rank": np.int64, "vec_id": np.int64, "radius_q": np.int64})
+
+
 def label_centroids(embeddings: rd.Dataset, scale: float = 1_000_000.0) -> pd.DataFrame:
     """Exact per-label centroid partials in LONG form -> DataFrame
     (label, i, sum_micro, n): each embedding element quantizes to integer

@@ -333,6 +333,7 @@ def test_gate_window_rotation_contract():
         "domain_profile_documents",
         "pagerank_exact_events",
         "hll_registers_orders",
+        "kcenter_exact_embeddings",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)

@@ -554,3 +554,38 @@ def test_ivfpq_index_recall(rd, tmp_path):
         n_probe=4,
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_kcenter_fixed_point_naive_parity(rd):
+    """Engine == a direct numpy replay of the integer greedy recurrence,
+    including the min-id first pick, max-mind/min-id tie-breaks, and the
+    -1 radius sentinel; duplicated vectors stay pickable at radius 0."""
+    from rayquality.ops.cluster import kcenter_fixed_point
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 40, 6, 7
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[5] = vecs[9]  # planted exact duplicate
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    got = kcenter_fixed_point(
+        rd.from_pandas(df).repartition(5), k=k, id_col="vec_id"
+    )
+
+    q = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    mind = np.full(n, np.iinfo(np.int64).max)
+    picks = [(1, int(ids[0]), -1)]
+    chosen = 0
+    for rank in range(2, k + 1):
+        d = ((q - q[chosen]) ** 2).sum(axis=1)
+        mind = np.minimum(mind, d)
+        mind[chosen] = -1
+        order = np.lexsort((ids, -mind))
+        chosen = order[0]
+        picks.append((rank, int(ids[chosen]), int(mind[chosen])))
+    want = pd.DataFrame(picks, columns=["rank", "vec_id", "radius_q"])
+    assert got.astype("int64").values.tolist() == want.values.tolist()
+    # radii are non-increasing after the sentinel
+    r = got["radius_q"].to_numpy()[1:]
+    assert (np.diff(r) <= 0).all()
