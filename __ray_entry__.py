@@ -1586,6 +1586,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (em,) = _tables(sf, "embeddings")
         return cluster.kcenter_fixed_point(em, k=12)
 
+    def hamming_radius_pairs_documents(sf):
+        """Certify the banded-Hamming pair kernel — the image near-dup
+        candidate generator (`ops/pairs.py banded_hamming_pairs`, also the
+        phash path in ops/image.py) — against a brute-force SQL oracle:
+        64-bit signatures derived from doc_id via splitmix64 with planted
+        1-bit / 3-bit perturbations inside groups of three, radius 8 with
+        16 bands (pigeonhole-exact to hamming 15)."""
+        import numpy as _np
+        import pyarrow as _pa
+
+        from rayquality.ops import pairs as _pairs
+        from rayquality.ops.sketch import _splitmix64
+
+        (dc,) = _tables(sf, "documents")
+
+        def sig(t: "_pa.Table") -> "_pa.Table":
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+            base = _splitmix64((ids // 3).astype(_np.uint64))
+            pert = _np.where(
+                ids % 3 == 1,
+                _np.uint64(1) << (ids % 61).astype(_np.uint64),
+                _np.where(
+                    ids % 3 == 2,
+                    _np.uint64(7) << (ids % 50).astype(_np.uint64),
+                    _np.uint64(0),
+                ),
+            )
+            return _pa.table(
+                {
+                    "doc_id": _pa.array(ids),
+                    "sig": _pa.array((base ^ pert).view(_np.int64)),
+                }
+            )
+
+        sig_ds = dc.select_columns(["doc_id"]).map_batches(
+            sig, batch_format="pyarrow"
+        )
+        out = _pairs.banded_hamming_pairs(
+            sig_ds, "doc_id", "sig", max_hamming=8, n_bands=16
+        )
+        return (
+            out[["id_a", "id_b"]]
+            .astype({"id_a": "int64", "id_b": "int64"})
+            .reset_index(drop=True)
+        )
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1814,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_exact_events": pagerank_exact_events,
         "hll_registers_orders": hll_registers_orders,
         "kcenter_exact_embeddings": kcenter_exact_embeddings,
+        "hamming_radius_pairs_documents": hamming_radius_pairs_documents,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3252,6 +3299,35 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "hamming_radius_pairs_documents": (
+            # brute-force oracle for the banded kernel: same splitmix64
+            # signature derivation as the engine (HUGEINT arithmetic per
+            # the hll_registers_orders comment), then every pair with
+            # bit_count(xor) <= 8 — the band/bucket machinery must lose
+            # nothing under the pigeonhole guarantee
+            "WITH s AS (SELECT doc_id, "
+            "  ((doc_id // 3)::HUGEINT + 11400714819323198485) "
+            "    % 18446744073709551616 AS x0, "
+            "  xor(x0, x0 >> 30) AS a1, "
+            "  ((a1 % 4294967296) * 484763065 "
+            "   + (((a1 % 4294967296) * 3210233709 "
+            "      + (a1 >> 32) * 484763065) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x1, "
+            "  xor(x1, x1 >> 27) AS a2, "
+            "  ((a2 % 4294967296) * 321982955 "
+            "   + (((a2 % 4294967296) * 2496678331 "
+            "      + (a2 >> 32) * 321982955) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x2, "
+            "  xor(xor(x2, x2 >> 31), "
+            "    CASE doc_id % 3 "
+            "      WHEN 1 THEN (1::HUGEINT << (doc_id % 61)) "
+            "      WHEN 2 THEN (7::HUGEINT << (doc_id % 50)) "
+            "      ELSE 0::HUGEINT END) AS h "
+            "  FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.h, b.h)) <= 8 ORDER BY id_a, id_b"
         ),
         "kcenter_exact_embeddings": (
             # the Gonzalez greedy selection replayed in SQL: state carries
