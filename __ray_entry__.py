@@ -1632,6 +1632,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def minhash_sets_orders(sf):
+        """MinHash signatures (8 permutations) of each customer's order-key
+        set — the minhash math itself under an exact oracle: unsigned min
+        of splitmix64((item + p*GOLDEN) mod 2^64), bias-shifted to signed
+        int64 so the distributed combine and SQL both take plain MINs."""
+        from rayquality.ops import sketch
+
+        (od,) = _tables(sf, "orders")
+        out = sketch.minhash_int_signatures(
+            od, key_col="o_custkey", item_col="o_orderkey", n_perm=8
+        ).to_pandas()
+        return out.sort_values(["o_custkey", "perm"]).reset_index(drop=True)
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1861,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_orders": hll_registers_orders,
         "kcenter_exact_embeddings": kcenter_exact_embeddings,
         "hamming_radius_pairs_documents": hamming_radius_pairs_documents,
+        "minhash_sets_orders": minhash_sets_orders,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3299,6 +3313,33 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "minhash_sets_orders": (
+            # splitmix64 per permutation seed p: input (item + p*GOLDEN)
+            # mod 2^64; MIN over HUGEINT is unsigned order, then the
+            # monotonic bias shift (- 2^63) lands in signed BIGINT exactly
+            # like the engine's (h XOR top-bit) int64 view
+            "WITH it AS (SELECT o_custkey, o_orderkey FROM orders), "
+            "p AS (SELECT UNNEST(range(0, 8)) AS perm), "
+            "hh AS (SELECT o_custkey, perm, "
+            "  ((o_orderkey::HUGEINT + perm * 11400714819323198485) "
+            "    % 18446744073709551616 + 11400714819323198485) "
+            "    % 18446744073709551616 AS x0, "
+            "  xor(x0, x0 >> 30) AS a1, "
+            "  ((a1 % 4294967296) * 484763065 "
+            "   + (((a1 % 4294967296) * 3210233709 "
+            "      + (a1 >> 32) * 484763065) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x1, "
+            "  xor(x1, x1 >> 27) AS a2, "
+            "  ((a2 % 4294967296) * 321982955 "
+            "   + (((a2 % 4294967296) * 2496678331 "
+            "      + (a2 >> 32) * 321982955) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x2, "
+            "  xor(x2, x2 >> 31) AS h "
+            "  FROM it, p) "
+            "SELECT o_custkey, CAST(perm AS BIGINT) AS perm, "
+            "  CAST(MIN(h) - 9223372036854775808 AS BIGINT) AS sig "
+            "FROM hh GROUP BY 1, 2 ORDER BY o_custkey, perm"
         ),
         "hamming_radius_pairs_documents": (
             # brute-force oracle for the banded kernel: same splitmix64

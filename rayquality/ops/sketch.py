@@ -197,6 +197,73 @@ def hll_registers(
     )
 
 
+def minhash_int_signatures(
+    ds: rd.Dataset, key_col: str, item_col: str, n_perm: int = 8
+) -> rd.Dataset:
+    """MinHash signatures over INTEGER item sets -> lazy Dataset
+    ``(key_col, perm:int64, sig:int64)``, one row per (key, permutation).
+
+    Certifies the minhash math itself with an exact SQL oracle
+    (``minhash_sets_orders`` in ``__ray_entry__.py``): permutation p hashes
+    item i as ``splitmix64((i + p * GOLDEN) mod 2^64)`` and the signature
+    is the UNSIGNED min — min is order- and batch-split-independent, so the
+    result is bit-exact. ``sig`` is reported bias-shifted (``h - 2^63`` as
+    signed int64): the shift is monotonic in unsigned order, which lets the
+    distributed combine take plain signed int64 mins, and SQL reproduces it
+    as ``MIN(h) - 2^63`` over HUGEINT hashes.
+
+    The document minhash (``ops/textdedup.py``) hashes STRING shingles via
+    pandas' hash_array and stays rows-only; this op is the oracle-able
+    counterpart for integer item sets (e.g. per-customer order-key sets,
+    per-user item ids). Combiner shape: per-batch min per (key, perm)
+    before one skinny (key, perm) shuffle — the moved table is
+    O(keys x n_perm), never O(items).
+    """
+    GOLDEN = _C1  # splitmix64's golden-ratio increment, shared constant
+    TOP = np.uint64(1) << np.uint64(63)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        items = t[item_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if not len(keys):
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "perm": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        out_k, out_p, out_s = [], [], []
+        for p in range(n_perm):
+            with np.errstate(over="ignore"):
+                h = _splitmix64(items + np.uint64(p) * GOLDEN)
+            biased = (h ^ TOP).view(np.int64)
+            mins = np.full(len(uniq), np.iinfo(np.int64).max)
+            np.minimum.at(mins, inv, biased)
+            out_k.append(uniq)
+            out_p.append(np.full(len(uniq), p, np.int64))
+            out_s.append(mins)
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate(out_k)),
+                "perm": pa.array(np.concatenate(out_p)),
+                "sig": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    from .combine import combine_partials
+
+    return combine_partials(
+        ds.select_columns([key_col, item_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=[key_col, "perm"],
+        sums=[],
+        mins=["sig"],
+    )
+
+
 def exact_quantiles(
     ds: rd.Dataset, column: str, qs: list[float]
 ) -> pd.DataFrame:

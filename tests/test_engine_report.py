@@ -335,6 +335,7 @@ def test_gate_window_rotation_contract():
         "hll_registers_orders",
         "kcenter_exact_embeddings",
         "hamming_radius_pairs_documents",
+        "minhash_sets_orders",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)

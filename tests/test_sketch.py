@@ -111,3 +111,39 @@ def test_hll_registers_state_exact(ray_session):
     # different partitioning -> identical state
     again = hll_registers(rd.from_pandas(df).repartition(2), "x", precision=12)
     assert again.equals(got)
+
+
+def test_minhash_int_signatures_exact(ray_session):
+    """Signatures == a naive per-key loop, independent of batch splits;
+    the bias shift preserves unsigned min order."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayquality.ops.sketch import _C1, _splitmix64, minhash_int_signatures
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 50, 4000).astype(np.int64)
+    items = rng.integers(0, 2**62, 4000).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "item": items})
+
+    got = (
+        minhash_int_signatures(
+            rd.from_pandas(df).repartition(11), "k", "item", n_perm=4
+        )
+        .to_pandas()
+        .sort_values(["k", "perm"])
+        .reset_index(drop=True)
+    )
+
+    TOP = np.uint64(1) << np.uint64(63)
+    rows = []
+    for k in np.unique(keys):
+        it = items[keys == k].astype(np.uint64)
+        for p in range(4):
+            with np.errstate(over="ignore"):
+                h = _splitmix64(it + np.uint64(p) * _C1)
+            rows.append((int(k), p, int(((h ^ TOP).view(np.int64)).min())))
+    want = pd.DataFrame(rows, columns=["k", "perm", "sig"])
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["perm"].tolist() == want["perm"].tolist()
+    assert got["sig"].tolist() == want["sig"].tolist()
