@@ -1645,6 +1645,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["o_custkey", "perm"]).reset_index(drop=True)
 
+    def simhash_sets_orders(sf):
+        """64-bit SimHash per customer over the order-key set — the simhash
+        math itself (sign of per-bit +/-1 sums over splitmix64 hashes)
+        under an exact oracle; the string simhash stays rows-only (blake2b
+        word hashing has no SQL counterpart)."""
+        from rayquality.ops import sketch
+
+        (od,) = _tables(sf, "orders")
+        out = sketch.simhash_int_signatures(
+            od, key_col="o_custkey", item_col="o_orderkey"
+        ).to_pandas()
+        return out.sort_values("o_custkey").reset_index(drop=True)
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1875,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_exact_embeddings": kcenter_exact_embeddings,
         "hamming_radius_pairs_documents": hamming_radius_pairs_documents,
         "minhash_sets_orders": minhash_sets_orders,
+        "simhash_sets_orders": simhash_sets_orders,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3313,6 +3327,38 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "simhash_sets_orders": (
+            # bit b of the signature = 1 iff SUM over the key's items of
+            # (bit b of splitmix64(item) ? +1 : -1) > 0; the HUGEINT
+            # signature converts to the engine's signed int64 view by
+            # subtracting 2^64 when the sign bit is set
+            "WITH hh AS (SELECT o_custkey, "
+            "  (o_orderkey::HUGEINT + 11400714819323198485) "
+            "    % 18446744073709551616 AS x0, "
+            "  xor(x0, x0 >> 30) AS a1, "
+            "  ((a1 % 4294967296) * 484763065 "
+            "   + (((a1 % 4294967296) * 3210233709 "
+            "      + (a1 >> 32) * 484763065) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x1, "
+            "  xor(x1, x1 >> 27) AS a2, "
+            "  ((a2 % 4294967296) * 321982955 "
+            "   + (((a2 % 4294967296) * 2496678331 "
+            "      + (a2 >> 32) * 321982955) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS x2, "
+            "  xor(x2, x2 >> 31) AS h "
+            "  FROM orders), "
+            "bs AS (SELECT o_custkey, t.b AS bit, "
+            "  SUM(CASE WHEN (h >> t.b) % 2 = 1 THEN 1 ELSE -1 END) AS s "
+            "  FROM hh, (SELECT UNNEST(range(0, 64)) AS b) t(b) "
+            "  GROUP BY 1, 2), "
+            "sg AS (SELECT o_custkey, "
+            "  SUM(CASE WHEN s > 0 THEN (1::HUGEINT << bit) "
+            "      ELSE 0::HUGEINT END) AS sig_u FROM bs GROUP BY 1) "
+            "SELECT o_custkey, CAST(sig_u - CASE WHEN sig_u >= "
+            "  9223372036854775808 THEN 18446744073709551616::HUGEINT "
+            "  ELSE 0::HUGEINT END AS BIGINT) AS sig "
+            "FROM sg ORDER BY o_custkey"
         ),
         "minhash_sets_orders": (
             # splitmix64 per permutation seed p: input (item + p*GOLDEN)

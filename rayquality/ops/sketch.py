@@ -264,6 +264,72 @@ def minhash_int_signatures(
     )
 
 
+def simhash_int_signatures(
+    ds: rd.Dataset, key_col: str, item_col: str
+) -> rd.Dataset:
+    """64-bit SimHash per INTEGER item set -> lazy Dataset
+    ``(key_col, sig:int64)``: bit b of the signature is 1 iff the sum over
+    the key's items of ``(bit b of splitmix64(item)) ? +1 : -1`` is
+    strictly positive (Charikar 2002, with hash-derived instead of
+    feature-weighted contributions).
+
+    Bit-exact by construction — integer sums commute — so it carries an
+    exact SQL oracle (``simhash_sets_orders`` in ``__ray_entry__.py``); the
+    STRING simhash (``ops/textdedup.py``) hashes words via blake2b and
+    stays rows-only. Combiner shape: each batch reduces to one
+    (key x 64) int64 bit-sum row per key, the shuffle moves O(keys) wide
+    rows, and a final vectorized pass packs signs into the signature.
+    """
+    BITS = np.arange(64, dtype=np.uint64)
+    bcols = [f"b{i}" for i in range(64)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return pa.table(
+                {key_col: pa.array([], pa.int64())}
+                | {c: pa.array([], pa.int64()) for c in bcols}
+            )
+        items = t[item_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(items)
+        contrib = (((h[:, None] >> BITS) & np.uint64(1)).astype(np.int64) * 2) - 1
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uniq), 64), np.int64)
+        np.add.at(sums, inv, contrib)
+        return pa.table(
+            {key_col: pa.array(uniq)}
+            | {c: pa.array(sums[:, i]) for i, c in enumerate(bcols)}
+        )
+
+    from .combine import combine_partials
+
+    combined = combine_partials(
+        ds.select_columns([key_col, item_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=[key_col],
+        sums=bcols,
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), "sig": pa.array([], pa.int64())}
+            )
+        sums = np.stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in bcols], axis=1
+        )
+        sig = ((sums > 0).astype(np.uint64) << BITS).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "sig": pa.array(sig.view(np.int64)),
+            }
+        )
+
+    return combined.map_batches(pack, batch_format="pyarrow")
+
+
 def exact_quantiles(
     ds: rd.Dataset, column: str, qs: list[float]
 ) -> pd.DataFrame:

@@ -147,3 +147,38 @@ def test_minhash_int_signatures_exact(ray_session):
     assert got["k"].tolist() == want["k"].tolist()
     assert got["perm"].tolist() == want["perm"].tolist()
     assert got["sig"].tolist() == want["sig"].tolist()
+
+
+def test_simhash_int_signatures_exact(ray_session):
+    """Signatures == a naive per-key loop; batch-split independent; strict
+    sign rule (zero-sum bit -> 0) honored."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayquality.ops.sketch import _splitmix64, simhash_int_signatures
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 40, 3000).astype(np.int64)
+    items = rng.integers(0, 2**62, 3000).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "item": items})
+
+    got = (
+        simhash_int_signatures(rd.from_pandas(df).repartition(9), "k", "item")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for k in np.unique(keys):
+        h = _splitmix64(items[keys == k].astype(np.uint64))
+        sig = np.uint64(0)
+        for b in range(64):
+            contrib = (((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1).sum()
+            if contrib > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        rows.append((int(k), int(sig.view(np.int64) if hasattr(sig, 'view') else sig)))
+    want = pd.DataFrame(rows, columns=["k", "sig"])
+    want["sig"] = want["sig"].astype(np.int64)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["sig"].tolist() == want["sig"].tolist()
