@@ -1658,6 +1658,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("o_custkey").reset_index(drop=True)
 
+    def bloom_bits_orders(sf):
+        """The Bloom filter's exact SET-BIT POSITIONS over the customer
+        keyset (m=2^16, k=4 double-hashed probes) — the filter that gates
+        the big-big semi-join's shuffle (`ops/bloom.py`). The bit array is
+        an OR of deterministic positions, so its state is order-independent
+        and SQL-reproducible; certifying it certifies the pruning stage of
+        bloom_semi_join_lineitem (whose end answer is already oracled)."""
+        import numpy as _np
+        import pandas as _pd
+        import ray as _ray
+
+        from rayquality.ops import bloom
+
+        (od,) = _tables(sf, "orders")
+        bits = _ray.get(bloom.build_bloom(od, "o_custkey", m_bits=1 << 16))
+        arr = _np.unpackbits(_np.asarray(bits, _np.uint8), bitorder="little")
+        return _pd.DataFrame({"pos": _np.nonzero(arr)[0].astype(_np.int64)})
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1889,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamming_radius_pairs_documents": hamming_radius_pairs_documents,
         "minhash_sets_orders": minhash_sets_orders,
         "simhash_sets_orders": simhash_sets_orders,
+        "bloom_bits_orders": bloom_bits_orders,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3327,6 +3346,41 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "bloom_bits_orders": (
+            # the engine's _mix is the splitmix64 finalizer seeded by a
+            # salt add; h2 is forced odd; probe i sets bit (h1 + i*h2)
+            # mod 2^16 — all reproducible in HUGEINT arithmetic
+            "WITH s AS (SELECT o_custkey::HUGEINT AS u FROM orders), "
+            "hx AS (SELECT u, "
+            "  (u + 11400714819323198485) % 18446744073709551616 AS p0, "
+            "  xor(p0, p0 >> 30) AS pa, "
+            "  ((pa % 4294967296) * 484763065 "
+            "   + (((pa % 4294967296) * 3210233709 "
+            "      + (pa >> 32) * 484763065) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS p1, "
+            "  xor(p1, p1 >> 27) AS pb, "
+            "  ((pb % 4294967296) * 321982955 "
+            "   + (((pb % 4294967296) * 2496678331 "
+            "      + (pb >> 32) * 321982955) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS p2, "
+            "  xor(p2, p2 >> 31) AS h1, "
+            "  (u + 15111065706836454659) % 18446744073709551616 AS q0, "
+            "  xor(q0, q0 >> 30) AS qa, "
+            "  ((qa % 4294967296) * 484763065 "
+            "   + (((qa % 4294967296) * 3210233709 "
+            "      + (qa >> 32) * 484763065) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS q1, "
+            "  xor(q1, q1 >> 27) AS qb, "
+            "  ((qb % 4294967296) * 321982955 "
+            "   + (((qb % 4294967296) * 2496678331 "
+            "      + (qb >> 32) * 321982955) % 4294967296) * 4294967296"
+            "  ) % 18446744073709551616 AS q2, "
+            "  xor(q2, q2 >> 31) AS h2raw, "
+            "  h2raw - (h2raw % 2) + 1 AS h2 "
+            "  FROM s) "
+            "SELECT DISTINCT CAST((h1 + t.i * h2) % 65536 AS BIGINT) AS pos "
+            "FROM hx, (SELECT UNNEST(range(0, 4)) AS i) t(i) ORDER BY pos"
         ),
         "simhash_sets_orders": (
             # bit b of the signature = 1 iff SUM over the key's items of

@@ -337,6 +337,7 @@ def test_gate_window_rotation_contract():
         "hamming_radius_pairs_documents",
         "minhash_sets_orders",
         "simhash_sets_orders",
+        "bloom_bits_orders",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)
