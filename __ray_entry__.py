@@ -1676,6 +1676,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         arr = _np.unpackbits(_np.asarray(bits, _np.uint8), bitorder="little")
         return _pd.DataFrame({"pos": _np.nonzero(arr)[0].astype(_np.int64)})
 
+    def substr_fingerprints_documents(sf):
+        """The shared-substring detector's sampled Karp-Rabin fingerprint
+        table (`ops/substr.py`): one (min-representative doc_id, fkey) row
+        per (content, fingerprint), k=8 / sample_mod=4. The rolling-hash
+        prefix trick, the hash-mod winnowing selection, the cross-doc
+        window exclusion, and the exact-dup pre-collapse all land in this
+        state — SQL reproduces it positionally (documents are ASCII, so
+        substr/ord equals the engine's byte view) with the same mod-2^64
+        polynomial."""
+        from rayquality.ops import substr
+        from rayquality.ops.combine import combine_partials
+
+        (dc,) = _tables(sf, "documents")
+        fps = dc.select_columns(["doc_id", "text"]).map_batches(
+            substr._fingerprint_batch("doc_id", "text", 8, 4),
+            batch_format="pyarrow",
+        )
+        keyed = (
+            combine_partials(fps, keys=["ckey", "fkey"], sums=[], mins=["doc_id"])
+            .select_columns(["doc_id", "fkey"])
+            .to_pandas()
+        )
+        return keyed.sort_values(["doc_id", "fkey"]).reset_index(drop=True)
+
     def changelog_merge_orders(sf):
         import numpy as np
         import pandas as pd
@@ -1908,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sets_orders": minhash_sets_orders,
         "simhash_sets_orders": simhash_sets_orders,
         "bloom_bits_orders": bloom_bits_orders,
+        "substr_fingerprints_documents": substr_fingerprints_documents,
         # -- 15 oracled re-certs inside the window (driver-certified green
         #    in r1-r3; eight re-cert slots moved past the window edge for
         #    the round-5 additions above) --
@@ -3346,6 +3371,32 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE pr.it < 12 GROUP BY pr.it + 1, e.dst, c.r0) "
             "SELECT node AS node_id, r AS rank_fp FROM pr WHERE it = 12 "
             "ORDER BY node_id"
+        ),
+        "substr_fingerprints_documents": (
+            # H[i] = sum_j byte[i+j] * 1000003^(7-j) mod 2^64, selected
+            # where H % 4 = 0 and the 8-byte window stays inside the doc;
+            # group by (md5(text), H) with min doc_id = the engine's
+            # exact-dup pre-collapse; signed BIGINT convert matches the
+            # engine's uint64 -> int64 view
+            "WITH d AS (SELECT doc_id, text, length(text) AS n, "
+            "  md5(text) AS ck FROM documents WHERE text IS NOT NULL), "
+            "h AS (SELECT doc_id, ck, ("
+            "  ord(substr(text, i, 1))::HUGEINT * 12924618581234127435 "
+            "  + ord(substr(text, i+1, 1))::HUGEINT * 10923514805226455897 "
+            "  + ord(substr(text, i+2, 1))::HUGEINT * 14453212906556403763 "
+            "  + ord(substr(text, i+3, 1))::HUGEINT * 14003818205314896721 "
+            "  + ord(substr(text, i+4, 1))::HUGEINT * 1000009000027000027 "
+            "  + ord(substr(text, i+5, 1))::HUGEINT * 1000006000009 "
+            "  + ord(substr(text, i+6, 1))::HUGEINT * 1000003 "
+            "  + ord(substr(text, i+7, 1))::HUGEINT"
+            "  ) % 18446744073709551616 AS fk "
+            "  FROM d, LATERAL (SELECT UNNEST(range(1, n - 6)) AS i) t), "
+            "sel AS (SELECT ck, fk, MIN(doc_id) AS doc_id FROM h "
+            "  WHERE fk % 4 = 0 GROUP BY ck, fk) "
+            "SELECT doc_id, CAST(fk - CASE WHEN fk >= 9223372036854775808 "
+            "  THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END "
+            "  AS BIGINT) AS fkey "
+            "FROM sel ORDER BY doc_id, fkey"
         ),
         "bloom_bits_orders": (
             # the engine's _mix is the splitmix64 finalizer seeded by a

@@ -338,6 +338,7 @@ def test_gate_window_rotation_contract():
         "minhash_sets_orders",
         "simhash_sets_orders",
         "bloom_bits_orders",
+        "substr_fingerprints_documents",
     }
     assert len(never - r5_new) == 27, sorted(never - r5_new)
     assert r5_new <= never <= first50, sorted(never - first50)
